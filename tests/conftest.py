@@ -1,0 +1,21 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Real-TPU benchmarking happens via bench.py; unit/conformance tests use the
+XLA CPU backend with 8 virtual devices so multi-chip sharding paths
+(shard_map, ppermute halo exchange, all_to_all channel redistribution) are
+exercised without TPU hardware, per SURVEY.md §4.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)

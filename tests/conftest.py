@@ -8,7 +8,7 @@ exercised without TPU hardware, per SURVEY.md §4.
 
 import os
 
-# Must be set before jax is imported anywhere.
+# Env route (works when jax has not been imported yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -18,4 +18,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# Config route: this environment pre-imports jax with JAX_PLATFORMS=axon via
+# a sitecustomize hook, so the env var alone is not sufficient.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

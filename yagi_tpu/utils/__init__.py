@@ -1,0 +1,9 @@
+"""Test/validation utilities (reference layer X: utility/test_helpers.rs)."""
+
+from .psd_validate import (  # noqa: F401
+    PsdRegion,
+    validate_psd_spectrum,
+    validate_psd_signal,
+    validate_psd_signalf,
+    validate_psd_spgram,
+)

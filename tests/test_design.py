@@ -1,0 +1,239 @@
+"""Filter design conformance tests.
+
+Truth values from the reference's inline autotests (rcos.rs:56-97,
+rrcos.rs:69-103, rkaiser.rs config tests) and spectral/ISI properties the
+reference asserts via PSD masks (design/mod.rs tests).
+"""
+
+import numpy as np
+import pytest
+
+from yagi_tpu import design as d
+from yagi_tpu.errors import ConfigError
+
+
+class TestKaiser:
+    def test_beta_from_attenuation(self):
+        # [Vaidyanathan:1993] formula values
+        assert d.kaiser_beta_stopband_attenuation(60.0) == pytest.approx(
+            0.1102 * (60.0 - 8.7)
+        )
+        assert d.kaiser_beta_stopband_attenuation(30.0) == pytest.approx(
+            0.5842 * 9.0**0.4 + 0.07886 * 9.0
+        )
+        assert d.kaiser_beta_stopband_attenuation(20.0) == 0.0
+
+    def test_fir_design_kaiser_spectrum(self):
+        n, fc, As = 81, 0.2, 60.0
+        h = d.fir_design_kaiser(n, fc, As, 0.0)
+        assert len(h) == n
+        H = np.fft.fft(h, 4096)
+        f = np.fft.fftfreq(4096)
+        Hdb = 20 * np.log10(np.abs(H) / np.abs(H[0]) + 1e-30)
+        assert Hdb[np.abs(f) > 0.25].max() < -As + 2
+        assert abs(Hdb[np.abs(f) < 0.15]).max() < 0.1
+
+    def test_fractional_offset_shifts_peak(self):
+        h0 = d.fir_design_kaiser(51, 0.2, 60.0, 0.0)
+        hm = d.fir_design_kaiser(51, 0.2, 60.0, 0.4)
+        gd0 = d.fir_group_delay(h0, 0.0)
+        gdm = d.fir_group_delay(hm, 0.0)
+        assert gd0 - gdm == pytest.approx(0.4, abs=0.02)
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            d.fir_design_kaiser(0, 0.2, 60.0)
+        with pytest.raises(ConfigError):
+            d.fir_design_kaiser(51, 0.6, 60.0)
+        with pytest.raises(ConfigError):
+            d.fir_design_kaiser(51, 0.2, -3.0)
+        with pytest.raises(ConfigError):
+            d.fir_design_kaiser(51, 0.2, 60.0, 0.7)
+
+
+class TestNyquistShapes:
+    def test_rcos_golden(self):
+        """Reference autotest vector (rcos.rs:62-97)."""
+        h0 = [
+            1.65502646542134e-17, 7.20253052925685e-02, -1.26653717080575e-16,
+            -1.74718023726940e-01, 2.95450626814946e-16, 6.23332275392119e-01,
+            1.00000000000000e00, 6.23332275392119e-01, -2.23850244261176e-16,
+            -1.74718023726940e-01, -2.73763990895627e-17, 7.20253052925685e-02,
+            0.0,
+        ]
+        h = d.fir_design_rcos(2, 3, 0.3, 0.0)
+        np.testing.assert_allclose(h, h0, atol=1e-5)
+
+    def test_rrcos_golden(self):
+        """Reference autotest vector (rrcos.rs:76-103)."""
+        h0 = [
+            -3.311577e-02, 4.501582e-02, 5.659688e-02, -1.536039e-01,
+            -7.500154e-02, 6.153450e-01, 1.081972e00, 6.153450e-01,
+            -7.500154e-02, -1.536039e-01, 5.659688e-02, 4.501582e-02,
+            -3.311577e-02,
+        ]
+        h = d.fir_design_rrcos(2, 3, 0.3, 0.0)
+        np.testing.assert_allclose(h, h0, atol=1e-5)
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            d.FirFilterShape.KAISER,
+            d.FirFilterShape.PM,
+            d.FirFilterShape.RCOS,
+            d.FirFilterShape.FEXP,
+            d.FirFilterShape.FSECH,
+            d.FirFilterShape.FARCSECH,
+        ],
+    )
+    def test_nyquist_zero_crossings(self, shape):
+        """Nyquist property: h[k·m + i·k] ≈ 0 for i ≠ 0 (scaled by h[km])."""
+        k, m = 4, 6
+        h = d.fir_design_prototype(shape, k, m, 0.3)
+        assert len(h) == 2 * k * m + 1
+        center = h[k * m]
+        crossings = [h[k * m + i * k] / center for i in range(1, m) if i != 0]
+        assert np.abs(crossings).max() < 0.05
+
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            d.FirFilterShape.ARKAISER,
+            d.FirFilterShape.RKAISER,
+            d.FirFilterShape.RRCOS,
+            d.FirFilterShape.HM3,
+            d.FirFilterShape.RFEXP,
+            d.FirFilterShape.RFSECH,
+            d.FirFilterShape.RFARCSECH,
+        ],
+    )
+    def test_root_nyquist_isi(self, shape):
+        """Matched-filter ISI must be small (design/mod.rs test harness)."""
+        k, m, beta = 2, 10, 0.35
+        h = d.fir_design_prototype(shape, k, m, beta)
+        isi_rms, _ = d.filter_isi(h, k, m)
+        assert 20 * np.log10(isi_rms) < -30.0, shape
+
+    def test_gmsktx_pulse(self):
+        h = d.fir_design_gmsktx(4, 3, 0.3)
+        assert len(h) == 25
+        # Gaussian pulse: positive, symmetric, integral = (π/2)·k
+        assert np.all(h > -1e-9)
+        np.testing.assert_allclose(h, h[::-1], atol=1e-6)
+        assert np.sum(h) == pytest.approx(np.pi / 2 * 4, rel=1e-5)
+
+    def test_from_str(self):
+        assert d.FirFilterShape.from_str("rrcos") is d.FirFilterShape.RRCOS
+        assert d.FirFilterShape.from_str("arkaiser") is d.FirFilterShape.ARKAISER
+        with pytest.raises(ConfigError):
+            d.FirFilterShape.from_str("nope")
+
+
+class TestPm:
+    def test_lowpass_meets_spec(self):
+        n, fc, As = 81, 0.2, 60.0
+        h = d.fir_design_pm_lowpass(n, fc, As)
+        assert len(h) == n
+        H = np.fft.fft(h, 4096)
+        f = np.fft.fftfreq(4096)
+        Hdb = 20 * np.log10(np.abs(H) + 1e-30)
+        ft = d.estimate_req_filter_transition_bandwidth(As, n)
+        assert Hdb[np.abs(f) >= fc + 0.5 * ft + 0.005].max() < -As + 3
+        assert np.abs(Hdb[np.abs(f) <= fc - 0.5 * ft - 0.005]).max() < 0.2
+
+    def test_equiripple_alternation(self):
+        """Error extrema must alternate with near-equal magnitude."""
+        h = d.fir_design_pm(
+            31, [0.0, 0.15, 0.25, 0.5], [1.0, 0.0], [1.0, 1.0], None
+        )
+        H = np.abs(np.fft.fft(h, 8192))
+        f = np.fft.fftfreq(8192)
+        stop = H[(f >= 0.25) & (f <= 0.5)]
+        # equiripple stopband: peaks within 1.5 dB of each other
+        peaks = stop[1:-1][(stop[1:-1] > stop[:-2]) & (stop[1:-1] > stop[2:])]
+        peak_db = 20 * np.log10(peaks)
+        assert peak_db.max() - peak_db.min() < 1.5
+
+    def test_even_length(self):
+        h = d.fir_design_pm(
+            30, [0.0, 0.15, 0.25, 0.5], [1.0, 0.0], [1.0, 1.0], None
+        )
+        assert len(h) == 30
+        # even-length type-II symmetric
+        np.testing.assert_allclose(h, h[::-1], atol=1e-6)
+
+    def test_halfband(self):
+        m = 6
+        h = d.fir_design_pm_halfband_stopband_attenuation(m, 60.0)
+        n = 4 * m + 1
+        assert len(h) == n
+        assert h[n // 2] == pytest.approx(0.5, abs=1e-3)
+        even_outer = np.concatenate([h[0 : n // 2 : 2], h[n // 2 + 2 :: 2]])
+        np.testing.assert_allclose(even_outer, 0.0, atol=1e-12)
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            d.fir_design_pm(0, [0.0, 0.5], [1.0], None, None)
+        with pytest.raises(ConfigError):
+            d.fir_design_pm(21, [0.0, 0.6], [1.0], None, None)
+        with pytest.raises(ConfigError):
+            d.fir_design_pm(21, [0.3, 0.1], [1.0], None, None)
+        with pytest.raises(ConfigError):
+            d.fir_design_pm(21, [0.0, 0.2, 0.3, 0.5], [1.0, 0.0], [1.0, -1.0], None)
+
+
+class TestEstimators:
+    def test_kaiser_len(self):
+        assert d.estimate_req_filter_len_kaiser(0.05, 60.0) == pytest.approx(
+            (60.0 - 7.95) / (14.26 * 0.05)
+        )
+
+    def test_herrmann_len(self):
+        # must be in the same ballpark as kaiser's rule
+        lk = d.estimate_req_filter_len_kaiser(0.05, 60.0)
+        lh = d.estimate_req_filter_len_herrmann(0.05, 60.0)
+        assert abs(lk - lh) / lk < 0.25
+        # above 105 dB it falls back to kaiser
+        assert d.estimate_req_filter_len_herrmann(0.05, 110.0) == pytest.approx(
+            d.estimate_req_filter_len_kaiser(0.05, 110.0)
+        )
+
+    def test_bisection_roundtrips(self):
+        as_ = d.estimate_req_filter_stopband_attenuation(0.05, 53)
+        assert d.estimate_req_filter_len_kaiser(0.05, as_) == pytest.approx(53, abs=0.1)
+        df = d.estimate_req_filter_transition_bandwidth(60.0, 73)
+        assert d.estimate_req_filter_len_kaiser(df, 60.0) == pytest.approx(73, abs=0.1)
+
+
+class TestFilterStats:
+    def test_autocorr(self):
+        h = np.array([1.0, 2.0, 3.0])
+        assert d.filter_autocorr(h, 0) == pytest.approx(14.0)
+        assert d.filter_autocorr(h, 1) == pytest.approx(8.0)
+        assert d.filter_autocorr(h, -1) == pytest.approx(8.0)
+        assert d.filter_autocorr(h, 3) == 0.0
+
+    def test_crosscorr(self):
+        h = np.array([1.0, 2.0, 3.0, 4.0])
+        g = np.array([1.0, 1.0])
+        # lag 0: h[0..2]·g = 3 ; lag 2: h[2..4]·g = 7
+        assert d.filter_crosscorr(h, g, 0) == pytest.approx(3.0)
+        assert d.filter_crosscorr(h, g, 2) == pytest.approx(7.0)
+        assert d.filter_crosscorr(h, g, -1) == pytest.approx(1.0)
+        assert d.filter_crosscorr(g, h, 1) == d.filter_crosscorr(h, g, -1)
+
+    def test_energy(self):
+        h = d.fir_design_kaiser(81, 0.2, 60.0, 0.0)
+        e = d.filter_energy(h, 0.3, 1024)
+        assert e < 1e-5  # almost all energy below fc=0.3
+
+    def test_doppler(self):
+        h = d.fir_design_doppler(51, 0.1, 2.0, 0.0)
+        assert len(h) == 51
+        assert np.all(np.isfinite(h))
+        np.testing.assert_allclose(h, h[::-1], atol=1e-6)
+
+    def test_notch_dc_blocker(self):
+        h = d.fir_design_dc_blocker(15, 60.0)
+        assert abs(np.sum(h)) < 1e-3  # DC response ~0
+        assert abs(d.freqresponse(h, 0.25)) == pytest.approx(1.0, abs=0.05)

@@ -1,0 +1,258 @@
+"""IIR filter + design conformance tests.
+
+Oracles: golden vectors (iir/test_data.rs: b/a/x/y quads at rrrf/crcf/cccf),
+liquid's SOS/zpk pipeline properties, PSD masks for designed prototypes.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yagi_tpu.design import iir as iirdes
+from yagi_tpu.errors import ConfigError
+from yagi_tpu.filter import IirFilter, IirFilterSos
+
+from golden_util import load
+
+TOL = 1e-2  # reference iirfilt tests use 0.01 (accumulating f32 recurrences)
+
+
+class TestIirFiltGolden:
+    @pytest.mark.parametrize("variant", ["RRRF", "CRCF", "CCCF"])
+    @pytest.mark.parametrize("case", ["H3X64", "H5X64", "H7X64"])
+    def test_golden_tf(self, variant, case):
+        g = load("iirfilt")
+        b = g[f"IIRFILT_{variant}_DATA_{case}_B"]
+        a = g[f"IIRFILT_{variant}_DATA_{case}_A"]
+        x = g[f"IIRFILT_{variant}_DATA_{case}_X"]
+        y_want = g[f"IIRFILT_{variant}_DATA_{case}_Y"]
+        f = IirFilter.create(b, a, dtype=x.dtype)
+        y, _ = f.execute_block(x)
+        np.testing.assert_allclose(np.asarray(y), y_want, atol=TOL)
+
+    def test_split_invariance(self):
+        g = load("iirfilt")
+        b = g["IIRFILT_CCCF_DATA_H5X64_B"]
+        a = g["IIRFILT_CCCF_DATA_H5X64_A"]
+        x = g["IIRFILT_CCCF_DATA_H5X64_X"]
+        f1 = IirFilter.create(b, a, dtype=x.dtype)
+        y1, _ = f1.execute_block(x)
+        f2 = IirFilter.create(b, a, dtype=x.dtype)
+        parts = []
+        for c in np.split(x, [10, 11, 40]):
+            if len(c):
+                y, f2 = f2.execute_block(c)
+                parts.append(np.asarray(y))
+        np.testing.assert_allclose(
+            np.asarray(y1), np.concatenate(parts), rtol=1e-5, atol=1e-6
+        )
+
+
+class TestSos:
+    def test_biquad_matches_tf(self):
+        """Single biquad == TF-form IIR with same coefficients."""
+        rng = np.random.default_rng(0)
+        b = np.array([0.2, 0.3, 0.1])
+        a = np.array([1.0, -0.5, 0.25])
+        x = rng.normal(size=64).astype(np.float32)
+        sos = IirFilterSos.create(b, a)
+        y_sos, _ = sos.execute_block(x)
+        tf = IirFilter.create(b, a)
+        y_tf, _ = tf.execute_block(x)
+        np.testing.assert_allclose(np.asarray(y_sos), np.asarray(y_tf), rtol=1e-5, atol=1e-6)
+
+    def test_sos_cascade_matches_tf(self):
+        """SOS realization of a designed filter matches TF realization."""
+        btf, atf = iirdes.iir_design(
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.TRANSFER_FUNCTION,
+            5, 0.2, 0.0, 0.1, 60.0,
+        )
+        Bs, As = iirdes.iir_design(
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            5, 0.2, 0.0, 0.1, 60.0,
+        )
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=256).astype(np.float32)
+        y_tf, _ = IirFilter.create(btf, atf).execute_block(x)
+        y_sos, _ = IirFilter.create_sos(Bs, As).execute_block(x)
+        np.testing.assert_allclose(
+            np.asarray(y_tf), np.asarray(y_sos), rtol=1e-3, atol=1e-4
+        )
+
+
+class TestIirDesign:
+    @pytest.mark.parametrize(
+        "shape",
+        [
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirFilterShape.CHEBY1,
+            iirdes.IirFilterShape.CHEBY2,
+            iirdes.IirFilterShape.ELLIP,
+            iirdes.IirFilterShape.BESSEL,
+        ],
+    )
+    @pytest.mark.parametrize("order", [2, 3, 5, 8])
+    def test_lowpass_psd(self, shape, order):
+        """Designed lowpass is stable, unity passband, attenuating stopband."""
+        f = IirFilter.create_prototype(
+            shape,
+            iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            order,
+            0.2,
+            0.0,
+            1.0,
+            40.0,
+        )
+        H0 = abs(f.freqresponse(0.0))
+        assert H0 == pytest.approx(1.0, abs=0.15)
+        # stopband at least somewhat down for low orders, strongly for high
+        H_stop = abs(f.freqresponse(0.45))
+        assert H_stop < 0.15 if order <= 3 else H_stop < 0.02
+        # impulse response decays (stability)
+        x = np.zeros(500, dtype=np.float32)
+        x[0] = 1.0
+        y, _ = f.execute_block(x)
+        y = np.asarray(y)
+        assert np.all(np.isfinite(y))
+        # high-order elliptic poles sit near |z|=1 → slow (but bounded) decay
+        assert np.abs(y[-50:]).max() < 1e-2
+
+    def test_butter_analog_poles(self):
+        za, pa, ka = iirdes.iir_design_butter_analog(5)
+        assert len(za) == 0 and len(pa) == 5
+        np.testing.assert_allclose(np.abs(pa), 1.0, atol=1e-12)
+        assert np.all(pa.real < 1e-12)
+        assert pa[-1] == pytest.approx(-1.0)
+
+    def test_cheby2_zeros_imaginary(self):
+        za, pa, ka = iirdes.iir_design_cheby2_analog(4, 0.01)
+        assert len(za) == 4
+        np.testing.assert_allclose(za.real, 0.0, atol=1e-12)
+
+    def test_ellip_equiripple(self):
+        """Elliptic design: sharper transition than Butterworth at same order."""
+        fe = IirFilter.create_prototype(
+            iirdes.IirFilterShape.ELLIP,
+            iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            5, 0.2, 0.0, 1.0, 60.0,
+        )
+        fb = IirFilter.create_prototype(
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            5, 0.2, 0.0, 1.0, 60.0,
+        )
+        # just past the cutoff, elliptic should attenuate more
+        assert abs(fe.freqresponse(0.26)) < abs(fb.freqresponse(0.26))
+
+    def test_highpass(self):
+        f = IirFilter.create_prototype(
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirBandType.HIGHPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            5, 0.3, 0.0, 1.0, 60.0,
+        )
+        assert abs(f.freqresponse(0.0)) < 1e-3
+        assert abs(f.freqresponse(0.45)) == pytest.approx(1.0, abs=0.1)
+
+    def test_bandpass(self):
+        f = IirFilter.create_prototype(
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirBandType.BANDPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            4, 0.1, 0.25, 1.0, 60.0,
+        )
+        assert abs(f.freqresponse(0.25)) == pytest.approx(1.0, abs=0.1)
+        assert abs(f.freqresponse(0.02)) < 0.05
+        assert abs(f.freqresponse(0.48)) < 0.05
+
+    def test_bandstop(self):
+        f = IirFilter.create_prototype(
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirBandType.BANDSTOP,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            4, 0.1, 0.25, 1.0, 60.0,
+        )
+        assert abs(f.freqresponse(0.25)) < 0.05
+        assert abs(f.freqresponse(0.0)) == pytest.approx(1.0, abs=0.15)
+
+    def test_is_stable(self):
+        b, a = iirdes.iir_design(
+            iirdes.IirFilterShape.BUTTER,
+            iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.TRANSFER_FUNCTION,
+            6, 0.2, 0.0, 1.0, 60.0,
+        )
+        assert iirdes.iir_design_is_stable(b, a)
+        assert not iirdes.iir_design_is_stable([1.0], [1.0, -2.5])
+
+    def test_cplxpair(self):
+        z = np.array([10 + 3j, 5 + 0j, -3 + 4j, 10 - 3j, 3 + 0j, -3 - 4j])
+        p = iirdes.find_conjugate_pairs(z)
+        want = np.array([-3 - 4j, -3 + 4j, 10 - 3j, 10 + 3j, 3 + 0j, 5 + 0j])
+        np.testing.assert_allclose(p, want, atol=1e-8)
+
+    def test_dc_blocker(self):
+        f = IirFilter.create_dc_blocker(0.1)
+        assert abs(f.freqresponse(0.0)) < 1e-6
+        assert abs(f.freqresponse(0.25)) == pytest.approx(1.0, abs=0.1)
+
+    def test_integrator_differentiator(self):
+        """Pintelon-Schoukens pair: differentiate then integrate ≈ identity
+        up to delay; integrator of constant ramps linearly."""
+        fi = IirFilter.create_integrator()
+        x = np.ones(200, dtype=np.float32)
+        y, _ = fi.execute_block(x)
+        y = np.asarray(y)
+        d = np.diff(y[100:])
+        np.testing.assert_allclose(d, 1.0, atol=0.01)
+
+        fd = IirFilter.create_differentiator()
+        t = np.arange(200, dtype=np.float32)
+        y, _ = fd.execute_block(t)
+        y = np.asarray(y)
+        np.testing.assert_allclose(y[100:], 1.0, atol=0.01)
+
+    def test_pll_filter(self):
+        f = IirFilter.create_pll(0.1, 1 / np.sqrt(2), 1000.0)
+        assert f.nsos == 1
+        y, _ = f.execute_block(np.ones(10, dtype=np.float32))
+        assert np.all(np.isfinite(np.asarray(y)))
+
+    def test_groupdelay(self):
+        f = IirFilter.create_lowpass(4, 0.1)
+        gd = f.groupdelay(0.0)
+        assert 0.0 < gd < 20.0
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            IirFilter.create([], [1.0])
+        with pytest.raises(ConfigError):
+            IirFilter.create([1.0], [])
+        with pytest.raises(ConfigError):
+            iirdes.iir_design(
+                iirdes.IirFilterShape.BUTTER,
+                iirdes.IirBandType.LOWPASS,
+                iirdes.IirFormat.TRANSFER_FUNCTION,
+                0, 0.2, 0.0, 1.0, 60.0,
+            )
+        with pytest.raises(ConfigError):
+            iirdes.iir_design(
+                iirdes.IirFilterShape.BUTTER,
+                iirdes.IirBandType.LOWPASS,
+                iirdes.IirFormat.TRANSFER_FUNCTION,
+                5, 0.7, 0.0, 1.0, 60.0,
+            )
+
+    def test_pll_design_invalid(self):
+        with pytest.raises(ConfigError):
+            iirdes.iir_design_pll_active_lag(-0.1, 0.7, 1000.0)
+        with pytest.raises(ConfigError):
+            iirdes.iir_design_pll_active_pi(0.1, -0.7, 1000.0)

@@ -1,0 +1,109 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Core product guarantee (BASELINE.json north star): block-processed output
+under time/channel sharding is bit-for-block identical to the same block
+computation on one device.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yagi_tpu.filter import FirFilter
+from yagi_tpu.parallel import make_stream_mesh, time_sharded_fir
+
+
+@pytest.fixture(scope="module")
+def devices_ok():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+class TestTimeShardedFir:
+    def test_bit_identical_to_blockwise(self, devices_ok):
+        """Sharded FIR == the same per-block conv run sequentially."""
+        rng = np.random.default_rng(0)
+        ch, n = 4, 1024
+        L = 64
+        h = rng.normal(size=L).astype(np.float32)
+        x = (rng.normal(size=(ch, n)) + 1j * rng.normal(size=(ch, n))).astype(
+            np.complex64
+        )
+
+        mesh = make_stream_mesh(8, ch=2)
+        n_time = mesh.shape["time"]
+        y_sharded = np.asarray(time_sharded_fir(h, jnp.asarray(x), mesh))
+
+        # single-device reference: process the same time blocks sequentially
+        f = FirFilter.create(h, batch_shape=(ch,), dtype=jnp.complex64)
+        block = n // n_time
+        parts = []
+        for b in range(n_time):
+            y, f = f.execute_block(x[:, b * block : (b + 1) * block])
+            parts.append(np.asarray(y))
+        y_seq = np.concatenate(parts, axis=-1)
+
+        np.testing.assert_array_equal(y_sharded, y_seq)
+
+    def test_mesh_shapes(self, devices_ok):
+        mesh = make_stream_mesh(8, ch=2)
+        assert mesh.shape["ch"] == 2 and mesh.shape["time"] == 4
+        mesh = make_stream_mesh(8)
+        assert mesh.shape["ch"] == 1 and mesh.shape["time"] == 8
+
+    def test_with_history_seed(self, devices_ok):
+        """Seeding stream-start history matches a warm filter."""
+        rng = np.random.default_rng(1)
+        h = rng.normal(size=16).astype(np.float32)
+        ch, n = 2, 256
+        hist = (rng.normal(size=(ch, 15)) + 1j * rng.normal(size=(ch, 15))).astype(
+            np.complex64
+        )
+        x = (rng.normal(size=(ch, n)) + 1j * rng.normal(size=(ch, n))).astype(
+            np.complex64
+        )
+        mesh = make_stream_mesh(8, ch=2)
+        y_sharded = np.asarray(time_sharded_fir(h, jnp.asarray(x), mesh, history=jnp.asarray(hist)))
+
+        f = FirFilter.create(h, batch_shape=(ch,), dtype=jnp.complex64)
+        # warm the window with the history samples
+        f = f.write(hist)
+        n_time = mesh.shape["time"]
+        block = n // n_time
+        parts = []
+        for b in range(n_time):
+            y, f = f.execute_block(x[:, b * block : (b + 1) * block])
+            parts.append(np.asarray(y))
+        np.testing.assert_array_equal(y_sharded, np.concatenate(parts, axis=-1))
+
+
+class TestRxChain:
+    def test_chain_streaming_consistency(self):
+        from yagi_tpu.chains import RxChain
+
+        rng = np.random.default_rng(2)
+        x = (rng.normal(size=2048) + 1j * rng.normal(size=2048)).astype(np.complex64)
+
+        chain = RxChain.create()
+        y_full, k_full, _ = chain.step(x)
+        y_full = np.asarray(y_full)[: int(k_full)]
+
+        chain2 = RxChain.create()
+        parts = []
+        for c in np.split(x, 4):
+            y, k, chain2 = chain2.step(c)
+            parts.append(np.asarray(y)[: int(k)])
+        y_parts = np.concatenate(parts)
+        assert len(y_full) == len(y_parts)
+        np.testing.assert_allclose(y_full, y_parts, rtol=1e-4, atol=1e-5)
+
+    def test_chain_jit(self):
+        from yagi_tpu.chains import RxChain
+
+        chain = RxChain.create()
+        x = jnp.zeros(1024, dtype=jnp.complex64)
+        step = jax.jit(lambda c, x: c.step(x))
+        y, k, c2 = step(chain, x)
+        assert y.shape[-1] == chain.resamp.out_capacity(1024)

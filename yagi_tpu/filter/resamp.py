@@ -1,0 +1,253 @@
+"""Arbitrary-rate polyphase resampler.
+
+Behavioral spec: /root/reference/src/filter/resampler/resamp.rs. The
+reference advances a 32-bit fixed-point phase accumulator per input sample
+(step = round(2^24 / r), resamp.rs:103) and emits one output per phase slot
+through a selected PFB branch (resamp.rs:141-154) — a data-dependent,
+per-sample loop.
+
+TPU formulation (fully parallel, bit-exact):
+for global output index m, the accumulated phase is P_m = phase0 + m·step
+(64-bit). Output m is emitted while consuming input sample
+n_m = P_m >> 24, through branch (P_m & 0xffffff) >> (24-bits). This is an
+exact unrolling of the reference's while-loop: emission m happens when the
+running phase (which has had n_m wrap-subtractions of 2^24) is
+P_m - n_m·2^24 ≤ 0xffffff. The 64-bit products are computed with uint32
+pair arithmetic (JAX default has no int64), so results match the reference's
+u32 semantics exactly. Outputs are then a branch-row gather + frame gather +
+one batched contraction.
+
+Because the output count depends on carried phase, execute_block returns a
+fixed-capacity buffer plus the exact count (the jit-friendly strategy from
+SURVEY.md §7 "hard parts" #2).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._src import struct
+from ..errors import ConfigError
+from .. import design
+from ..math.special import nextpow2
+from .firpfb import pfb_decompose
+
+__all__ = ["Resamp"]
+
+_U24 = jnp.uint32(1 << 24)
+_MASK24 = jnp.uint32((1 << 24) - 1)
+
+
+def _u64_emu_phase(phase0: jnp.ndarray, m: jnp.ndarray, step: jnp.ndarray):
+    """(hi, lo) uint32 pair = phase0 + m·step, exact 64-bit.
+
+    m: int32 output indices (< 2^31); step, phase0: uint32.
+    """
+    m = m.astype(jnp.uint32)
+    m0 = m & 0xFFFF
+    m1 = m >> 16
+    s0 = step & 0xFFFF
+    s1 = step >> 16
+    p00 = m0 * s0
+    p01 = m0 * s1
+    p10 = m1 * s0
+    p11 = m1 * s1
+    lo = p00 + ((p01 & 0xFFFF) << 16)
+    c1 = (lo < p00).astype(jnp.uint32)
+    lo2 = lo + ((p10 & 0xFFFF) << 16)
+    c2 = (lo2 < lo).astype(jnp.uint32)
+    lo3 = lo2 + phase0
+    c3 = (lo3 < lo2).astype(jnp.uint32)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + c1 + c2 + c3
+    return hi, lo3
+
+
+@struct.pytree
+class Resamp:
+    """Arbitrary resampler state (resamp.rs:8-16)."""
+
+    m: int = struct.static_field()  # filter semi-length (delay)
+    bits: int = struct.static_field()  # log2(npfb)
+    nominal_rate: float = struct.static_field()  # create-time rate, sizes buffers
+    branches: jnp.ndarray = struct.field()  # [npfb, Lsub] convolution order
+    rate: jnp.ndarray = struct.field()  # float32 current rate
+    step: jnp.ndarray = struct.field()  # uint32 = round(2^24 / rate)
+    phase: jnp.ndarray = struct.field()  # uint32 accumulator
+    window: jnp.ndarray = struct.field()  # [..., Lsub] PFB window
+
+    # ------------------------------------------------------------------ ctors
+    @classmethod
+    def create(
+        cls,
+        rate: float,
+        m: int = 7,
+        fc: float = 0.25,
+        as_: float = 60.0,
+        npfb: int = 256,
+        batch_shape: tuple = (),
+        dtype=jnp.complex64,
+    ) -> "Resamp":
+        """Design the PFB prototype and initialize state (resamp.rs:24-71)."""
+        if rate <= 0.0:
+            raise ConfigError("resampling rate must be greater than zero")
+        if m == 0:
+            raise ConfigError("filter semi-length must be greater than zero")
+        if fc <= 0.0 or fc >= 0.5:
+            raise ConfigError("filter cutoff must be in (0,0.5)")
+        if as_ <= 0.0:
+            raise ConfigError("filter stop-band suppression must be greater than zero")
+        bits = nextpow2(npfb)
+        if bits < 1 or bits > 16:
+            raise ConfigError("number of filter banks must be in (2^0,2^16)")
+        npfb = 1 << bits
+
+        n = 2 * m * npfb + 1
+        hf = design.fir_design_kaiser(n, fc / npfb, as_, 0.0)
+        gain = npfb / np.sum(hf)
+        h = (hf * gain).astype(np.float32)
+        # the reference constructs the PFB with h_len = n-1 (drops last tap)
+        branches = pfb_decompose(h[: n - 1], npfb)
+
+        obj = cls(
+            m=m,
+            bits=bits,
+            nominal_rate=float(rate),
+            branches=jnp.asarray(branches),
+            rate=jnp.asarray(rate, dtype=jnp.float32),
+            step=jnp.asarray(np.uint32(np.round((1 << 24) / rate))),
+            phase=jnp.asarray(0, dtype=jnp.uint32),
+            window=jnp.zeros(batch_shape + (branches.shape[1],), dtype=jnp.dtype(dtype)),
+        )
+        return obj._check_rate(rate)
+
+    @classmethod
+    def create_default(cls, rate: float, **kw) -> "Resamp":
+        """Default parameters (resamp.rs:73-84)."""
+        return cls.create(rate, m=7, fc=0.25, as_=60.0, npfb=256, **kw)
+
+    def _check_rate(self, rate: float) -> "Resamp":
+        if rate <= 0.0:
+            raise ConfigError("resampling rate must be greater than zero")
+        if rate < 0.004 or rate > 250.0:
+            raise ConfigError("resampling rate must be in [0.004,250]")
+        return self
+
+    # ------------------------------------------------------------- properties
+    @property
+    def npfb(self) -> int:
+        return self.branches.shape[0]
+
+    @property
+    def sub_len(self) -> int:
+        return self.branches.shape[1]
+
+    def get_delay(self) -> int:
+        return self.m
+
+    def get_rate(self):
+        return self.rate
+
+    # ---------------------------------------------------------------- control
+    def reset(self) -> "Resamp":
+        return self.replace(
+            phase=jnp.zeros_like(self.phase), window=jnp.zeros_like(self.window)
+        )
+
+    def set_rate(self, rate) -> "Resamp":
+        """Update rate; step = round(2^24 / r) (resamp.rs:95-106).
+
+        Accepts traced values (for timing loops); range-checks only concrete
+        Python floats.
+        """
+        if isinstance(rate, (int, float)):
+            self._check_rate(float(rate))
+        r = jnp.asarray(rate, dtype=jnp.float32)
+        step = jnp.round((1 << 24) / r).astype(jnp.uint32)
+        return self.replace(rate=r, step=step)
+
+    def adjust_rate(self, gamma) -> "Resamp":
+        """Multiplicative rate adjustment (resamp.rs:112)."""
+        return self.set_rate(self.rate * jnp.asarray(gamma, dtype=jnp.float32))
+
+    # ------------------------------------------------------------- num output
+    def get_num_output(self, num_input: int) -> int:
+        """Exact output count for the next num_input samples (resamp.rs:128).
+
+        Host-side exact integer replay; requires concrete (non-traced) state.
+        """
+        phase = int(np.asarray(self.phase))
+        step = int(np.asarray(self.step))
+        total = phase + 0  # python ints are arbitrary precision
+        end = num_input << 24
+        if total > end - 1:
+            return 0
+        return (end - 1 - total) // step + 1
+
+    def out_capacity(self, num_input: int, rate_hint: float | None = None) -> int:
+        """Static output-buffer capacity for a block of num_input samples.
+
+        Sized from the create-time nominal rate (static under jit); pass
+        ``rate_hint`` if the rate has been adjusted upward at runtime.
+        """
+        r = self.nominal_rate if rate_hint is None else rate_hint
+        return int(np.ceil(num_input * r)) + 4
+
+    # ------------------------------------------------------------- streaming
+    def execute_block(
+        self, x, out_capacity: int | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray, "Resamp"]:
+        """Resample a block (resamp.rs:156-165).
+
+        Returns (y, num_output, state): y has static length ``out_capacity``
+        with valid samples in y[..., :num_output] and zeros beyond.
+        """
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        if out_capacity is None:
+            out_capacity = self.out_capacity(n)
+
+        L = self.sub_len
+        xa = jnp.concatenate([self.window[..., 1:].astype(x.dtype), x], axis=-1)
+
+        # --- emission schedule (pure integer math, exact) -----------------
+        m_idx = jnp.arange(out_capacity, dtype=jnp.int32)
+        hi, lo = _u64_emu_phase(self.phase, m_idx, self.step)
+        n_m = ((hi << 8) | (lo >> 24)).astype(jnp.int32)  # source sample index
+        rem = lo & _MASK24  # phase at emission
+        branch = (rem >> (24 - self.bits)).astype(jnp.int32)
+        valid = n_m < n
+        num_output = jnp.sum(valid.astype(jnp.int32), axis=-1)
+
+        # --- gather frames + branch rows, contract ------------------------
+        starts = jnp.clip(n_m, 0, n - 1)  # frame m = xa[s : s+L]
+        frame_idx = starts[:, None] + jnp.arange(L)[None, :]
+        frames = xa[..., frame_idx]  # [..., cap, L] oldest..newest
+        hb = jnp.take(self.branches, branch, axis=0)  # [cap, L]
+        # y_m = Σ_j hb[m, j] · frames[m, L-1-j]
+        y = jnp.einsum(
+            "...cl,cl->...c",
+            frames,
+            hb[:, ::-1],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y = jnp.where(valid, y, 0)
+
+        # --- carry state ---------------------------------------------------
+        # phase' = phase + num_output·step - n·2^24 (mod 2^32 — exact since
+        # the true value fits in u32, resamp.rs:149-151)
+        new_phase = (
+            self.phase
+            + num_output.astype(jnp.uint32) * self.step
+            - jnp.uint32(n) * _U24
+        )
+        new_window = xa[..., xa.shape[-1] - L :]
+        return y, num_output, self.replace(phase=new_phase, window=new_window)
+
+    __call__ = execute_block
+
+    def execute(self, x_one):
+        """Single-sample API parity (resamp.rs:141)."""
+        y, k, q = self.execute_block(jnp.asarray(x_one)[..., None])
+        return y, k, q

@@ -1,0 +1,7 @@
+"""Device-mesh streaming distribution (TPU-native; no reference equivalent)."""
+
+from .stream import (  # noqa: F401
+    halo_exchange_left,
+    make_stream_mesh,
+    time_sharded_fir,
+)

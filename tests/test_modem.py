@@ -1,0 +1,337 @@
+"""Modem conformance tests (hard/soft demod, FM, FSK, AGC).
+
+Oracles: liquid's scheme definitions (constellation tables, gray coding,
+normalizations) and the reference's test style: noise-free mod/demod
+roundtrip over every symbol of every scheme, EVM/phase-error stats, and
+loop-convergence behavior for AGC (agc.rs:259-287).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yagi_tpu.agc import Agc, AgcSquelchMode
+from yagi_tpu.errors import ConfigError
+from yagi_tpu.modem import (
+    Freqdem,
+    Freqmod,
+    Fskdem,
+    Fskmod,
+    Modem,
+    ModulationScheme,
+    gray_decode,
+    gray_encode,
+)
+
+ALL_TABLE_SCHEMES = [
+    "psk2", "psk4", "psk8", "psk16", "psk32", "psk64", "psk128", "psk256",
+    "ask2", "ask4", "ask8", "ask16", "ask32", "ask64", "ask128", "ask256",
+    "qam4", "qam8", "qam16", "qam32", "qam64", "qam128", "qam256",
+    "apsk4", "apsk8", "apsk16", "apsk32", "apsk64", "apsk128", "apsk256",
+    "bpsk", "qpsk", "ook", "sqam32", "sqam128", "V29",
+    "arb16opt", "arb32opt", "arb64opt", "arb128opt", "arb256opt",
+    "arb64vt", "arb64ui",
+]
+DIFFERENTIAL_SCHEMES = [
+    "dpsk2", "dpsk4", "dpsk8", "dpsk16", "dpsk32", "dpsk64", "dpsk128",
+    "dpsk256", "pi4dqpsk",
+]
+
+
+class TestGray:
+    def test_roundtrip(self):
+        s = np.arange(256, dtype=np.uint32)
+        np.testing.assert_array_equal(gray_decode(gray_encode(s)), s)
+        np.testing.assert_array_equal(gray_encode(gray_decode(s)), s)
+
+    def test_adjacent_differ_one_bit(self):
+        g = gray_encode(np.arange(64, dtype=np.uint32))
+        diff = g[1:] ^ g[:-1]
+        assert np.all(np.bitwise_count(diff) == 1)
+
+
+class TestModemRoundtrip:
+    @pytest.mark.parametrize("scheme", ALL_TABLE_SCHEMES)
+    def test_noise_free_roundtrip(self, scheme):
+        """Every symbol of every scheme demodulates to itself (reference
+        modem test style)."""
+        m = Modem.create(scheme)
+        M = m.constellation_size
+        syms = np.arange(M, dtype=np.uint32)
+        y, m = m.modulate(syms)
+        out, m = m.demodulate(y)
+        np.testing.assert_array_equal(np.asarray(out), syms, err_msg=scheme)
+
+    @pytest.mark.parametrize("scheme", ["psk8", "qam16", "qam64", "apsk16"])
+    def test_unit_energy(self, scheme):
+        m = Modem.create(scheme)
+        e = float(jnp.mean(jnp.abs(m.table) ** 2))
+        assert e == pytest.approx(1.0, abs=0.05), scheme
+
+    @pytest.mark.parametrize("scheme", DIFFERENTIAL_SCHEMES)
+    def test_differential_roundtrip(self, scheme):
+        rng = np.random.default_rng(1)
+        m_tx = Modem.create(scheme)
+        m_rx = Modem.create(scheme)
+        M = m_tx.constellation_size
+        syms = rng.integers(0, M, size=64).astype(np.uint32)
+        y, m_tx = m_tx.modulate(syms)
+        out, m_rx = m_rx.demodulate(y)
+        np.testing.assert_array_equal(np.asarray(out), syms, err_msg=scheme)
+
+    def test_differential_block_split(self):
+        """DPSK state carries across block boundaries."""
+        rng = np.random.default_rng(2)
+        syms = rng.integers(0, 8, size=60).astype(np.uint32)
+
+        tx1 = Modem.create("dpsk8")
+        y_full, _ = tx1.modulate(syms)
+        tx2 = Modem.create("dpsk8")
+        parts = []
+        for c in np.split(syms, [7, 20, 21]):
+            y, tx2 = tx2.modulate(c)
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(
+            np.asarray(y_full), np.concatenate(parts), rtol=1e-4, atol=1e-5
+        )
+
+        rx = Modem.create("dpsk8")
+        outs = []
+        for c in np.split(np.asarray(y_full), [13, 40]):
+            o, rx = rx.demodulate(c)
+            outs.append(np.asarray(o))
+        np.testing.assert_array_equal(np.concatenate(outs), syms)
+
+    def test_from_table(self):
+        table = np.exp(2j * np.pi * np.arange(4) / 4).astype(np.complex64)
+        m = Modem.from_table(table)
+        assert m.bits_per_symbol == 2
+        y, m = m.modulate(np.array([0, 1, 2, 3], dtype=np.uint32))
+        np.testing.assert_allclose(np.asarray(y), table, atol=1e-7)
+        with pytest.raises(ConfigError):
+            Modem.from_table(np.ones(5, dtype=np.complex64))
+
+    def test_stats(self):
+        """Phase error / EVM per modem.rs:277-283."""
+        m = Modem.create("qpsk")
+        x = jnp.asarray([0.8 * np.exp(1j * (np.pi / 4 + 0.1))], dtype=jnp.complex64)
+        sym, x_hat, phase_err, evm, m = m.demodulate_with_stats(x)
+        assert int(sym[0]) == 0
+        # phase error positive (received leads ideal)
+        assert float(phase_err[0]) > 0
+        assert float(evm[0]) == pytest.approx(abs(0.8 * np.exp(0.1j) - 1.0), abs=1e-5)
+        # carried stats reflect the last sample
+        assert float(m.get_demodulator_evm()) == pytest.approx(float(evm[0]), abs=1e-6)
+
+    def test_awgn_ber_sane(self):
+        """QPSK over AWGN at high SNR: zero errors; at low SNR: some errors."""
+        rng = np.random.default_rng(3)
+        m = Modem.create("qpsk")
+        syms = rng.integers(0, 4, size=4000).astype(np.uint32)
+        y, m = m.modulate(syms)
+        y = np.asarray(y)
+        noise = (rng.normal(size=len(y)) + 1j * rng.normal(size=len(y))).astype(
+            np.complex64
+        )
+        out_hi, _ = m.demodulate(y + 0.05 * noise)
+        assert np.array_equal(np.asarray(out_hi), syms)
+        out_lo, _ = m.demodulate(y + 0.7 * noise)
+        ser = np.mean(np.asarray(out_lo) != syms)
+        assert 0.0 < ser < 0.5
+
+
+class TestSoftDemod:
+    def test_bpsk_llr(self):
+        m = Modem.create("bpsk")
+        x = jnp.asarray([1.0 + 0j, -1.0 + 0j, 0.05 + 0j], dtype=jnp.complex64)
+        sym, soft, m = m.demodulate_soft(x)
+        soft = np.asarray(soft)[:, 0]
+        assert soft[0] == 0  # strong bit 0
+        assert soft[1] == 255  # strong bit 1
+        assert 100 < soft[2] < 155  # near-erasure
+
+    def test_qpsk_llr(self):
+        m = Modem.create("qpsk")
+        s = 1 / np.sqrt(2)
+        x = jnp.asarray([s + 1j * s, -s - 1j * s], dtype=jnp.complex64)
+        sym, soft, m = m.demodulate_soft(x)
+        soft = np.asarray(soft)
+        np.testing.assert_array_equal(soft[0], [0, 0])
+        np.testing.assert_array_equal(soft[1], [255, 255])
+
+    @pytest.mark.parametrize("scheme", ["psk8", "qam16", "apsk16", "qam64"])
+    def test_table_soft_consistent_with_hard(self, scheme):
+        """Soft bits must agree with hard decisions on clean symbols."""
+        m = Modem.create(scheme)
+        M = m.constellation_size
+        syms = np.arange(M, dtype=np.uint32)
+        y, m = m.modulate(syms)
+        sym_out, soft, m = m.demodulate_soft(y)
+        np.testing.assert_array_equal(np.asarray(sym_out), syms)
+        bps = m.bits_per_symbol
+        hard_bits = (syms[:, None] >> np.arange(bps - 1, -1, -1)) & 1
+        soft = np.asarray(soft)
+        # soft bit on clean symbol must be on the correct side of erasure
+        assert np.all((soft > 127) == (hard_bits == 1))
+
+
+class TestFreqModDem:
+    def test_roundtrip(self):
+        """FM mod → demod recovers the message (freqmod/freqdem pair)."""
+        kf = 0.1
+        rng = np.random.default_rng(4)
+        msg = np.clip(rng.normal(scale=0.3, size=500), -1, 1).astype(np.float32)
+        fm = Freqmod.create(kf)
+        s, fm = fm.modulate(msg)
+        fd = Freqdem.create(kf)
+        out, fd = fd.demodulate(np.asarray(s))
+        out = np.asarray(out)
+        # skip first sample (demod has no history)
+        np.testing.assert_allclose(out[1:], msg[1:], atol=0.05)
+
+    def test_block_split_invariance(self):
+        kf = 0.2
+        rng = np.random.default_rng(5)
+        msg = rng.normal(scale=0.2, size=300).astype(np.float32)
+        fm1 = Freqmod.create(kf)
+        s1, _ = fm1.modulate(msg)
+        fm2 = Freqmod.create(kf)
+        parts = []
+        for c in np.split(msg, [50, 51, 200]):
+            if len(c):
+                s, fm2 = fm2.modulate(c)
+                parts.append(np.asarray(s))
+        np.testing.assert_allclose(
+            np.asarray(s1), np.concatenate(parts), atol=1e-6
+        )
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            Freqmod.create(0.0)
+        with pytest.raises(ConfigError):
+            Freqdem.create(-0.5)
+
+
+class TestFsk:
+    @pytest.mark.parametrize("m,k,bw", [(1, 8, 0.25), (2, 16, 0.25), (3, 64, 0.2)])
+    def test_roundtrip(self, m, k, bw):
+        rng = np.random.default_rng(6)
+        M = 1 << m
+        syms = rng.integers(0, M, size=50).astype(np.int32)
+        tx = Fskmod.create(m, k, bw)
+        y, tx = tx.modulate(syms)
+        rx = Fskdem.create(m, k, bw)
+        out, rx = rx.demodulate(np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(out), syms)
+
+    def test_roundtrip_noisy(self):
+        rng = np.random.default_rng(7)
+        m, k, bw = 2, 32, 0.25
+        syms = rng.integers(0, 4, size=200).astype(np.int32)
+        tx = Fskmod.create(m, k, bw)
+        y, _ = tx.modulate(syms)
+        y = np.asarray(y) + 0.1 * (
+            rng.normal(size=len(y)) + 1j * rng.normal(size=len(y))
+        ).astype(np.complex64)
+        rx = Fskdem.create(m, k, bw)
+        out, rx = rx.demodulate(y)
+        assert np.mean(np.asarray(out) != syms) < 0.01
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            Fskmod.create(0, 8, 0.25)
+        with pytest.raises(ConfigError):
+            Fskmod.create(2, 1, 0.25)
+        with pytest.raises(ConfigError):
+            Fskdem.create(2, 8, 0.6)
+
+
+class TestAgc:
+    def test_dc_gain_control(self):
+        """Reference autotest: AGC locks a DC level to unity (agc.rs:259)."""
+        gamma = 0.1
+        agc = Agc.create(bandwidth=0.1)
+        x = np.full(256, gamma, dtype=np.float32)
+        y, agc = agc.execute_block(x)
+        assert float(np.asarray(y)[-1]) == pytest.approx(1.0, abs=1e-2)
+        assert float(agc.get_gain()) == pytest.approx(1.0 / gamma, rel=0.1)
+
+    def test_ac_gain_control_complex(self):
+        """Sinusoid amplitude converges to unity (agc.rs tests)."""
+        gamma = 0.01
+        agc = Agc.create(bandwidth=0.1)
+        n = 512
+        t = np.arange(n)
+        x = (gamma * np.exp(2j * np.pi * 0.093 * t)).astype(np.complex64)
+        y, agc = agc.execute_block(x)
+        # rssi = -20·log10(g); converged g = 1/gamma, so rssi = 20·log10(gamma)
+        rssi = float(agc.get_rssi())
+        assert rssi == pytest.approx(20 * np.log10(gamma), abs=1.0)
+        assert abs(np.abs(np.asarray(y)[-50:]).mean() - 1.0) < 0.05
+
+    def test_lock(self):
+        agc = Agc.create(bandwidth=0.1)
+        x = np.full(200, 0.1, dtype=np.float32)
+        y, agc = agc.execute_block(x)
+        g_locked = float(agc.get_gain())
+        agc = agc.lock()
+        y2, agc = agc.execute_block(np.full(100, 10.0, dtype=np.float32))
+        assert float(agc.get_gain()) == pytest.approx(g_locked)
+
+    def test_squelch_fsm(self):
+        """Squelch rises on signal, falls + times out on silence (agc.rs:212)."""
+        agc = Agc.create(bandwidth=0.25)
+        agc = agc.squelch_enable().squelch_set_threshold(0.0)
+        agc = agc.set_rssi(-40.0)  # start below threshold... rssi 0 thresh
+        # strong signal: rssi rises above threshold
+        x = np.full(200, 1.0, dtype=np.complex64)
+        y, agc = agc.execute_block(x)
+        assert int(np.asarray(agc.squelch_get_status())) in (
+            AgcSquelchMode.RISE,
+            AgcSquelchMode.SIGNAL_HI,
+        )
+        # weak signal: falls, eventually times out
+        x = np.full(500, 1e-4, dtype=np.complex64)
+        y, agc = agc.execute_block(x)
+        assert int(np.asarray(agc.squelch_get_status())) in (
+            AgcSquelchMode.SIGNAL_LO,
+            AgcSquelchMode.TIMEOUT,
+            AgcSquelchMode.ENABLED,
+        )
+
+    def test_block_split_invariance(self):
+        rng = np.random.default_rng(8)
+        x = (0.05 * (rng.normal(size=400) + 1j * rng.normal(size=400))).astype(
+            np.complex64
+        )
+        a1 = Agc.create()
+        y1, a1 = a1.execute_block(x)
+        a2 = Agc.create()
+        parts = []
+        for c in np.split(x, [100, 101, 300]):
+            if len(c):
+                y, a2 = a2.execute_block(c)
+                parts.append(np.asarray(y))
+        np.testing.assert_allclose(
+            np.asarray(y1), np.concatenate(parts), rtol=1e-5, atol=1e-6
+        )
+
+    def test_batched_channels(self):
+        x = np.stack(
+            [np.full(300, 0.1), np.full(300, 2.0)]
+        ).astype(np.complex64)
+        agc = Agc.create(bandwidth=0.1, batch_shape=(2,))
+        y, agc = agc.execute_block(x)
+        g = np.asarray(agc.get_gain())
+        assert g[0] == pytest.approx(10.0, rel=0.1)
+        assert g[1] == pytest.approx(0.5, rel=0.1)
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            Agc.create(bandwidth=1.5)
+        with pytest.raises(ConfigError):
+            Agc.create().set_gain(-1.0)
+        with pytest.raises(ConfigError):
+            Agc.create().set_scale(0.0)

@@ -1,0 +1,5 @@
+"""Modulation / demodulation (reference layer L6: src/modem/)."""
+
+from .modem import Modem, ModulationScheme, gray_encode, gray_decode  # noqa: F401
+from .freq import Freqmod, Freqdem  # noqa: F401
+from .fsk import Fskmod, Fskdem  # noqa: F401

@@ -49,10 +49,9 @@ class RxChain:
         """Process one block: returns (y, num_valid, new_chain)."""
         y0, fir = self.fir.execute_block(x)
         y1, k, rs = self.resamp.execute_block(y0)
+        # y1's invalid tail is already zero and stays zero through the
+        # elementwise mix, so no re-mask is needed
         y2, osc = self.osc.mix_block_down_n(y1, k)
-        # zero the invalid tail again (mix touched it)
-        idx = jnp.arange(y2.shape[-1])
-        y2 = jnp.where(idx < k, y2, 0)
         return y2, k, self.replace(fir=fir, resamp=rs, osc=osc)
 
     __call__ = step

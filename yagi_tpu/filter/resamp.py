@@ -212,11 +212,17 @@ class Resamp:
         xa = jnp.concatenate([self.window[..., 1:].astype(x.dtype), x], axis=-1)
 
         # --- emission schedule (pure integer math, exact) -----------------
-        m_idx = jnp.arange(out_capacity, dtype=jnp.int32)
+        # one extra index so lo[num_output] is always in range (phase carry)
+        m_idx = jnp.arange(out_capacity + 1, dtype=jnp.int32)
         hi, lo = _u64_emu_phase(self.phase, m_idx, self.step)
+        hi, lo_full = hi[:out_capacity], lo
+        lo = lo_full[:out_capacity]
         n_m = ((hi << 8) | (lo >> 24)).astype(jnp.int32)  # source sample index
-        rem = lo & _MASK24  # phase at emission
-        branch = (rem >> (24 - self.bits)).astype(jnp.int32)
+        # branch = ((lo & 0xffffff) >> (24-bits)) — written shift-then-AND:
+        # the and-then-shift form hangs the axon TPU compiler (Mosaic bug)
+        branch = ((lo >> (24 - self.bits)) & jnp.uint32(self.npfb - 1)).astype(
+            jnp.int32
+        )
         valid = n_m < n
         num_output = jnp.sum(valid.astype(jnp.int32), axis=-1)
 
@@ -235,13 +241,11 @@ class Resamp:
         y = jnp.where(valid, y, 0)
 
         # --- carry state ---------------------------------------------------
-        # phase' = phase + num_output·step - n·2^24 (mod 2^32 — exact since
-        # the true value fits in u32, resamp.rs:149-151)
-        new_phase = (
-            self.phase
-            + num_output.astype(jnp.uint32) * self.step
-            - jnp.uint32(n) * _U24
-        )
+        # phase' = (phase + num_output·step) - n·2^24 (mod 2^32, exact,
+        # resamp.rs:149-151). phase + num_output·step mod 2^32 is exactly
+        # lo_full[num_output]; the gather form avoids a reduction-scalar
+        # multiply that trips the axon TPU compiler.
+        new_phase = lo_full[num_output] - jnp.uint32((n & 0xFF) << 24)
         new_window = xa[..., xa.shape[-1] - L :]
         return y, num_output, self.replace(phase=new_phase, window=new_window)
 

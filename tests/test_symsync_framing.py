@@ -1,0 +1,189 @@
+"""Symbol timing recovery + stream generator + sequence tests.
+
+Oracles: reference symsync scenarios (symsync.rs tests: recover symbols from
+an interpolated stream with a timing offset), symstream PSD/delay tests
+(symstream.rs:127ff), m-sequence/b-sequence autotests (msequence.rs,
+bsequence.rs).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yagi_tpu.design import FirFilterShape
+from yagi_tpu.errors import ConfigError
+from yagi_tpu.filter import FirInterpolationFilter, Symsync
+from yagi_tpu.framing import SymStream, SymStreamR
+from yagi_tpu.modem import Modem
+from yagi_tpu.sequence import BSequence, MSequence
+
+
+class TestMSequence:
+    def test_length_and_period(self):
+        """m-sequence has period 2^m - 1 (msequence.rs autotests)."""
+        for m in [3, 5, 7]:
+            ms = MSequence.create_default(m)
+            n = ms.get_length()
+            assert n == (1 << m) - 1
+            bits = ms.generate_bits(2 * n)
+            np.testing.assert_array_equal(bits[:n], bits[n:])
+            # balance property: ones = 2^(m-1)
+            assert bits[:n].sum() == 1 << (m - 1)
+
+    def test_autocorrelation(self):
+        """±1-mapped m-sequence autocorrelation: n at lag 0, -1 elsewhere."""
+        ms = MSequence.create_default(5)
+        n = ms.get_length()
+        bits = ms.generate_bits(n).astype(np.int32)
+        x = 1 - 2 * bits
+        for lag in [0, 1, 7, 19]:
+            r = int(np.sum(x * np.roll(x, lag)))
+            assert r == (n if lag == 0 else -1)
+
+    def test_genpoly(self):
+        ms = MSequence.create_genpoly(0x00000110)
+        assert ms.get_genpoly_length() == 9
+        with pytest.raises(ConfigError):
+            MSequence.create_default(35)
+        with pytest.raises(ConfigError):
+            MSequence.create_genpoly(0x1)
+
+
+class TestBSequence:
+    def test_push_index(self):
+        bs = BSequence(8)
+        for b in [1, 0, 1, 1, 0, 0, 1, 0]:
+            bs.push(b)
+        # index(0) = newest bit
+        assert bs.index(0) == 0
+        assert bs.index(1) == 1
+        assert bs.accumulate() == 4
+
+    def test_correlate_self(self):
+        ms = MSequence.create_default(5)
+        bs = BSequence.from_msequence(ms)
+        assert bs.correlate(bs) == bs.get_length()
+
+    def test_ccodes_complementary(self):
+        """Golay pair: autocorrelation sidelobes cancel (bsequence.rs tests)."""
+        for n in [8, 16, 32, 64]:
+            qa, qb = BSequence.create_ccodes(n)
+            a = 1.0 - 2.0 * qa.to_array().astype(np.float64)
+            b = 1.0 - 2.0 * qb.to_array().astype(np.float64)
+            for lag in range(1, n):
+                ra = np.sum(a[lag:] * a[: n - lag])
+                rb = np.sum(b[lag:] * b[: n - lag])
+                assert abs(ra + rb) < 1e-9, (n, lag)
+        with pytest.raises(ConfigError):
+            BSequence.create_ccodes(12)
+
+    def test_add_mul(self):
+        qa, qb = BSequence.create_ccodes(16)
+        s = qa.add(qb)
+        assert s.accumulate() == int(np.sum(qa.to_array() ^ qb.to_array()))
+        p = qa.mul(qb)
+        assert p.accumulate() == int(np.sum(qa.to_array() & qb.to_array()))
+
+
+class TestSymStream:
+    def test_power_and_psd(self):
+        """Unit power in-band, suppressed out of band (symstream.rs tests)."""
+        from yagi_tpu import fft as yfft
+        from yagi_tpu.math.windows import WindowType
+        from yagi_tpu.utils import PsdRegion, validate_psd_spgram
+
+        gen = SymStream(FirFilterShape.ARKAISER, 4, 7, 0.3, "qpsk")
+        x = gen.write_samples(1 << 15)
+        # liquid's rnyquist interp prototype yields unit stream power
+        assert abs(float(np.mean(np.abs(x) ** 2)) - 1.0) < 0.05
+        sp = yfft.Spgram.create(256, WindowType.HAMMING, 128, 64).write(x)
+        regions = [
+            PsdRegion(-0.10, 0.10, pmin=3.0, test_lo=True),  # density ≈ +6 dB (k=4)
+            PsdRegion(-0.5, -0.25, pmax=-30.0, test_hi=True),
+            PsdRegion(0.25, 0.5, pmax=-30.0, test_hi=True),
+        ]
+        assert validate_psd_spgram(sp, regions)
+
+    def test_block_size_independence(self):
+        g1 = SymStream()
+        a = g1.write_samples(333)
+        b = g1.write_samples(167)
+        g2 = SymStream()
+        c = g2.write_samples(500)
+        np.testing.assert_allclose(np.concatenate([a, b]), c, atol=1e-6)
+
+    def test_symstreamr(self):
+        g = SymStreamR(bw=0.25)
+        x = g.write_samples(4000)
+        assert len(x) == 4000
+        # occupied bandwidth ~ ±bw/2... energy concentrated below f=0.25
+        spec = np.abs(np.fft.fftshift(np.fft.fft(x)))**2
+        f = np.arange(len(x)) / len(x) - 0.5
+        in_band = spec[np.abs(f) < 0.2].sum()
+        assert in_band / spec.sum() > 0.95
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            SymStream(k=1)
+        with pytest.raises(ConfigError):
+            SymStreamR(bw=1.5)
+
+
+class TestSymsync:
+    @pytest.mark.parametrize("tau", [-0.3, 0.0, 0.25])
+    def test_recovers_timing_offset(self, tau):
+        """QPSK at k=2 with fractional timing offset: after convergence the
+        recovered symbols match the transmitted ones (symsync.rs scenarios)."""
+        k, m, beta = 2, 7, 0.35
+        npfb = 32
+        rng = np.random.default_rng(3)
+        num_symbols = 1200
+
+        modem = Modem.create("qpsk")
+        syms = rng.integers(0, 4, size=num_symbols).astype(np.uint32)
+        v, _ = modem.modulate(jnp.asarray(syms))
+
+        # interpolate with matched filter incl. fractional offset tau
+        interp = FirInterpolationFilter.create_prototype(
+            FirFilterShape.RRCOS, k, m, beta, dt=tau, dtype=jnp.complex64
+        )
+        x, _ = interp.execute_block(v)
+        x = np.asarray(x)
+
+        sync = Symsync.create_rnyquist(
+            FirFilterShape.RRCOS, k, m, beta, num_filters=npfb
+        )
+        sync = sync.set_lf_bw(0.02)
+        y, ny, sync = sync.execute(jnp.asarray(x))
+        ny = int(ny)
+        y = np.asarray(y)[:ny]
+        assert abs(ny - num_symbols) <= 2 + 2 * m
+
+        # after settle, decided symbols must match transmitted (with delay)
+        settle = 400
+        got, _ = modem.demodulate(jnp.asarray(y))
+        got = np.asarray(got)[settle:ny]
+        # find the symbol delay by correlating decisions
+        best_err = 1.0
+        for d in range(2 * m + 3):
+            ref = syms[settle - d : settle - d + len(got)]
+            if len(ref) == len(got):
+                err = np.mean(got != ref)
+                best_err = min(best_err, err)
+        assert best_err < 0.02, (tau, best_err)
+
+    def test_output_rate_2(self):
+        sync = Symsync.create_rnyquist(FirFilterShape.RRCOS, 2, 5, 0.3)
+        sync = sync.set_output_rate(2)
+        x = np.zeros(200, dtype=np.complex64)
+        y, ny, sync = sync.execute(x)
+        assert abs(int(ny) - 200) <= 4  # k_out=2: one output per input sample
+
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            Symsync.create_rnyquist(FirFilterShape.RRCOS, 1, 5, 0.3)
+        with pytest.raises(ConfigError):
+            Symsync.create_kaiser(2, 0, 0.3)
+        with pytest.raises(ConfigError):
+            Symsync.create_rnyquist(FirFilterShape.RRCOS, 2, 5, 1.5)

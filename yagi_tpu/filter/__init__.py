@@ -19,3 +19,4 @@ from .iirhilb import (  # noqa: F401
     IirInterpolationFilter,
 )
 from .misc import Fdelay, OrdFilt, design_lpc, levinson  # noqa: F401
+from .symsync import Symsync  # noqa: F401

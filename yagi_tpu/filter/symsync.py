@@ -1,0 +1,285 @@
+"""Symbol timing recovery (polyphase matched-filter synchronizer).
+
+Behavioral spec: /root/reference/src/filter/symsync.rs. Matched + derivative
+matched-filter PFBs (dMF scaled 0.06/max|h·dh|, symsync.rs:58-76); timing
+error q = clamp(Re(mf*·dmf)) filtered by a biquad loop filter
+(symsync.rs:196-213, 268-276); per input sample the loop emits 0..k outputs
+stepping through the npfb filterbank branches with rate feedback
+(symsync.rs:230-266).
+
+The feedback makes this inherently sequential per stream → lax.scan over
+samples with a bounded number of emissions per step (masked), batched over
+channels (SURVEY.md §7 hard part #3). Outputs come back as a fixed-capacity
+buffer + exact count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._src import struct
+from ..errors import ConfigError
+from .. import design
+from .firpfb import pfb_decompose
+
+__all__ = ["Symsync"]
+
+_MAX_EMIT = 4  # emissions per input sample never exceed ceil(1/del)+1 ≤ 4 for k ≥ 2
+
+
+@struct.pytree
+class Symsync:
+    """Symbol synchronizer state (symsync.rs:8-30)."""
+
+    k: int = struct.static_field()  # samples/symbol (input)
+    k_out: int = struct.static_field()  # samples/symbol (output)
+    npfb: int = struct.static_field()
+    mf: jnp.ndarray = struct.field()  # [npfb, Lsub] matched filter (conv order)
+    dmf: jnp.ndarray = struct.field()  # [npfb, Lsub] derivative bank
+    window: jnp.ndarray = struct.field()  # [..., Lsub] shared input window
+    # control state
+    b: jnp.ndarray = struct.field()  # int32 filterbank index
+    bf: jnp.ndarray = struct.field()
+    tau: jnp.ndarray = struct.field()
+    tau_decim: jnp.ndarray = struct.field()
+    rate: jnp.ndarray = struct.field()
+    delta: jnp.ndarray = struct.field()
+    q_err: jnp.ndarray = struct.field()
+    q_hat: jnp.ndarray = struct.field()
+    decim_counter: jnp.ndarray = struct.field()
+    # biquad loop filter (DF2 state + coefficients)
+    pll_b: jnp.ndarray = struct.field()  # [3]
+    pll_a: jnp.ndarray = struct.field()  # [3]
+    pll_v: jnp.ndarray = struct.field()  # [..., 2]
+    rate_adjustment: jnp.ndarray = struct.field()
+    locked: jnp.ndarray = struct.field()
+
+    # ------------------------------------------------------------------ ctors
+    @classmethod
+    def create(cls, k: int, m: int, h, batch_shape: tuple = (), dtype=jnp.complex64) -> "Symsync":
+        """From prototype h with npfb=m branches (symsync.rs:37-110)."""
+        if k < 2:
+            raise ConfigError("samples/symbol must be at least 2")
+        if m == 0:
+            raise ConfigError("number of filters must be greater than 0")
+        h = np.asarray(h, dtype=np.float64)
+        h_len = len(h)
+        if h_len == 0:
+            raise ConfigError("filter length must be greater than 0")
+        if (h_len - 1) % m != 0:
+            raise ConfigError("filter length must be of the form: h_len = m*k + 1")
+        npfb = m
+
+        # derivative filter, circular centered difference (symsync.rs:58-76)
+        dh = np.empty_like(h)
+        dh[0] = h[1] - h[h_len - 1]
+        dh[-1] = h[0] - h[h_len - 2]
+        dh[1:-1] = h[2:] - h[:-2]
+        hdh_max = np.max(np.abs(h * dh))
+        dh *= 0.06 / hdh_max
+
+        mf = pfb_decompose(h.astype(np.float32), npfb)
+        dmf = pfb_decompose(dh.astype(np.float32), npfb)
+
+        obj = cls(
+            k=k,
+            k_out=1,
+            npfb=npfb,
+            mf=jnp.asarray(mf),
+            dmf=jnp.asarray(dmf),
+            window=jnp.zeros(batch_shape + (mf.shape[1],), dtype=jnp.dtype(dtype)),
+            b=jnp.zeros(batch_shape, jnp.int32),
+            bf=jnp.zeros(batch_shape, jnp.float32),
+            tau=jnp.zeros(batch_shape, jnp.float32),
+            tau_decim=jnp.zeros(batch_shape, jnp.float32),
+            rate=jnp.full(batch_shape, float(k), jnp.float32),
+            delta=jnp.full(batch_shape, float(k), jnp.float32),
+            q_err=jnp.zeros(batch_shape, jnp.float32),
+            q_hat=jnp.zeros(batch_shape, jnp.float32),
+            decim_counter=jnp.zeros(batch_shape, jnp.int32),
+            pll_b=jnp.zeros(3, jnp.float32),
+            pll_a=jnp.asarray([1.0, 0.0, 0.0], jnp.float32),
+            pll_v=jnp.zeros(batch_shape + (2,), jnp.float32),
+            rate_adjustment=jnp.zeros(batch_shape, jnp.float32),
+            locked=jnp.full(batch_shape, False),
+        )
+        return obj.set_lf_bw(0.01)
+
+    @classmethod
+    def create_rnyquist(cls, ftype, k: int, m: int, beta: float, num_filters: int = 32, **kw):
+        """Root-Nyquist matched filter bank (symsync.rs:112-131)."""
+        if k < 2:
+            raise ConfigError("samples/symbol must be at least 2")
+        if m == 0:
+            raise ConfigError("filter delay must be greater than 0")
+        if beta < 0.0 or beta > 1.0:
+            raise ConfigError("excess bandwidth factor must be in [0,1]")
+        if num_filters == 0:
+            raise ConfigError("number of filters must be greater than 0")
+        h = design.fir_design_prototype(ftype, k * num_filters, m, beta, 0.0)
+        return cls.create(k, num_filters, h, **kw)
+
+    @classmethod
+    def create_kaiser(cls, k: int, m: int, beta: float, num_filters: int = 32, **kw):
+        """Kaiser lowpass bank (symsync.rs:133-158)."""
+        if k < 2:
+            raise ConfigError("samples/symbol must be at least 2")
+        if m == 0:
+            raise ConfigError("filter delay must be greater than 0")
+        if beta <= 0.0 or beta > 1.0:
+            raise ConfigError("excess bandwidth factor must be in [0,1]")
+        h_len = 2 * num_filters * k * m + 1
+        fc = 0.75
+        h = design.fir_design_kaiser(h_len, fc / (k * num_filters), 40.0, 0.0)
+        h = h * (2.0 * fc)
+        return cls.create(k, num_filters, h, **kw)
+
+    # ---------------------------------------------------------------- control
+    def reset(self) -> "Symsync":
+        return self.replace(
+            window=jnp.zeros_like(self.window),
+            b=jnp.zeros_like(self.b),
+            bf=jnp.zeros_like(self.bf),
+            tau=jnp.zeros_like(self.tau),
+            tau_decim=jnp.zeros_like(self.tau_decim),
+            rate=jnp.full_like(self.rate, self.k / self.k_out),
+            delta=jnp.full_like(self.delta, self.k / self.k_out),
+            q_err=jnp.zeros_like(self.q_err),
+            q_hat=jnp.zeros_like(self.q_hat),
+            decim_counter=jnp.zeros_like(self.decim_counter),
+            pll_v=jnp.zeros_like(self.pll_v),
+        )
+
+    def lock(self) -> "Symsync":
+        return self.replace(locked=jnp.ones_like(self.locked))
+
+    def unlock(self) -> "Symsync":
+        return self.replace(locked=jnp.zeros_like(self.locked))
+
+    def set_output_rate(self, k_out: int) -> "Symsync":
+        """Samples/symbol at the output (symsync.rs:186-194)."""
+        if k_out == 0:
+            raise ConfigError("output rate must be greater than 0")
+        rate = self.k / k_out
+        return self.replace(
+            k_out=k_out,
+            rate=jnp.full_like(self.rate, rate),
+            delta=jnp.full_like(self.delta, rate),
+        )
+
+    def set_lf_bw(self, bandwidth: float) -> "Symsync":
+        """Loop filter design (symsync.rs:196-213)."""
+        if isinstance(bandwidth, (int, float)) and not 0.0 <= bandwidth <= 1.0:
+            raise ConfigError("bandwidth must be in [0,1]")
+        alpha = 1.0 - bandwidth
+        beta = 0.22 * bandwidth
+        a, bb = 0.5, 0.495
+        a0 = 1.0 - a * alpha
+        pll_b = jnp.asarray([beta / a0, 0.0, 0.0], jnp.float32)
+        pll_a = jnp.asarray([1.0, -bb * alpha / a0, 0.0], jnp.float32)
+        return self.replace(
+            pll_b=pll_b,
+            pll_a=pll_a,
+            rate_adjustment=jnp.full_like(self.rate_adjustment, 0.5 * bandwidth),
+        )
+
+    def get_tau(self):
+        return self.tau_decim
+
+    # ------------------------------------------------------------- streaming
+    def execute(self, x) -> tuple[jnp.ndarray, jnp.ndarray, "Symsync"]:
+        """Synchronize a block (symsync.rs:219-266).
+
+        Returns (y, num_output, state): y has capacity N·_MAX_EMIT with the
+        valid outputs compacted to the front.
+        """
+        x = jnp.asarray(x)
+        n = x.shape[-1]
+        Lsub = self.mf.shape[1]
+        mf_rev = self.mf[:, ::-1]
+        dmf_rev = self.dmf[:, ::-1]
+        kf = jnp.float32(self.k)
+
+        def pll_exec(v, q):
+            # DF2 biquad (iirfiltsos.rs:103)
+            v1, v2 = v[..., 0], v[..., 1]
+            v0 = q - self.pll_a[1] * v1 - self.pll_a[2] * v2
+            out = self.pll_b[0] * v0 + self.pll_b[1] * v1 + self.pll_b[2] * v2
+            return jnp.stack([v0, v1], axis=-1), out
+
+        def step(carry, xi):
+            (win, b, bf, tau, tau_d, rate, delta, dec, pv) = carry
+            win = jnp.concatenate([win[..., 1:], xi[..., None]], axis=-1)
+
+            ys = []
+            valids = []
+
+            def emit_once(state):
+                b, bf, tau, tau_d, rate, delta, dec, pv = state
+                active = b < self.npfb
+                bb = jnp.clip(b, 0, self.npfb - 1)
+                hb = jnp.take(mf_rev, bb, axis=0)
+                mf_out = jnp.sum(hb * win, axis=-1)
+                y_out = mf_out / kf
+
+                do_timing = (dec == self.k_out) & active & (~self.locked)
+                dec = jnp.where((dec == self.k_out) & active, 0, dec)
+
+                dhb = jnp.take(dmf_rev, bb, axis=0)
+                dmf_out = jnp.sum(dhb * win, axis=-1)
+                q = jnp.clip((jnp.conj(mf_out) * dmf_out).real, -1.0, 1.0)
+                pv_new, q_hat = pll_exec(pv, q)
+                rate_new = rate + self.rate_adjustment * q_hat
+                delta_new = rate_new + q_hat
+
+                pv = jnp.where(do_timing[..., None], pv_new, pv)
+                rate = jnp.where(do_timing, rate_new, rate)
+                delta = jnp.where(do_timing, delta_new, delta)
+                tau_d = jnp.where(do_timing, tau, tau_d)
+
+                dec = jnp.where(active, dec + 1, dec)
+                tau = jnp.where(active, tau + delta, tau)
+                bf = jnp.where(active, tau * self.npfb, bf)
+                b = jnp.where(active, jnp.round(bf).astype(jnp.int32), b)
+                return (b, bf, tau, tau_d, rate, delta, dec, pv), y_out, active
+
+            state = (b, bf, tau, tau_d, rate, delta, dec, pv)
+            for _ in range(_MAX_EMIT):
+                state, y_out, active = emit_once(state)
+                ys.append(jnp.where(active, y_out, 0))
+                valids.append(active)
+            (b, bf, tau, tau_d, rate, delta, dec, pv) = state
+
+            # end-of-sample wrap (symsync.rs:261-263)
+            tau = tau - 1.0
+            bf = bf - self.npfb
+            b = b - self.npfb
+
+            y_step = jnp.stack(ys, axis=-1)  # [..., MAX_EMIT]
+            v_step = jnp.stack(valids, axis=-1)
+            return (win, b, bf, tau, tau_d, rate, delta, dec, pv), (y_step, v_step)
+
+        carry0 = (
+            self.window, self.b, self.bf, self.tau, self.tau_decim,
+            self.rate, self.delta, self.decim_counter, self.pll_v,
+        )
+        xt = jnp.moveaxis(x, -1, 0)
+        carry, (yt, vt) = jax.lax.scan(step, carry0, xt)
+        (win, b, bf, tau, tau_d, rate, delta, dec, pv) = carry
+
+        # [..., N, MAX_EMIT] → flatten and compact valid entries to the front
+        y = jnp.moveaxis(yt, 0, -2).reshape(x.shape[:-1] + (n * _MAX_EMIT,))
+        v = jnp.moveaxis(vt, 0, -2).reshape(x.shape[:-1] + (n * _MAX_EMIT,))
+        num_output = jnp.sum(v.astype(jnp.int32), axis=-1)
+        order = jnp.argsort(~v, axis=-1, stable=True)  # valid first, stable
+        y = jnp.take_along_axis(y, order, axis=-1)
+
+        new = self.replace(
+            window=win, b=b, bf=bf, tau=tau, tau_decim=tau_d, rate=rate,
+            delta=delta, decim_counter=dec, pll_v=pv,
+        )
+        return y, num_output, new
+
+    __call__ = execute

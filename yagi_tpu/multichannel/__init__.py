@@ -1,0 +1,3 @@
+"""Multichannel channelizers (liquid firpfbch family; yagi stub filled in)."""
+
+from .firpfbch import Firpfbch, Firpfbch2  # noqa: F401

@@ -5,3 +5,4 @@ from .stream import (  # noqa: F401
     make_stream_mesh,
     time_sharded_fir,
 )
+from .channelizer import sharded_channelize, sharded_channelize_fm  # noqa: F401

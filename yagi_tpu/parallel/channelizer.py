@@ -1,0 +1,97 @@
+"""Distributed channelizer: time-sharded polyphase analysis + per-channel demod.
+
+BASELINE.json config[4]: the M-channel firpfbch channelizer with time-blocks
+sharded across devices. Each device receives its contiguous time block plus a
+p·M-sample halo from its left neighbor via ONE `ppermute` over ICI, runs the
+local analyzer on [halo | block] with zero initial state, and drops the first
+p output steps (which depended only on the halo) — classic overlap-save. The
+retained outputs are bit-identical to a single-device run because the
+analyzer state is a pure function of the last (p-1)·M + M-1 raw samples,
+which the halo fully covers.
+
+Per-channel demodulation (FM discriminator or linear modem decisions) is
+embarrassingly parallel after analysis and stays device-local.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..multichannel import Firpfbch
+
+__all__ = ["sharded_channelize", "sharded_channelize_fm"]
+
+
+def _local_analyze(ch: Firpfbch, halo_and_block: jnp.ndarray) -> jnp.ndarray:
+    """Analyzer over [halo | block], dropping the halo-only output steps."""
+    p = ch.p
+    y, _ = ch.analyzer_execute(halo_and_block)
+    return y[..., p:]
+
+
+def sharded_channelize(ch: Firpfbch, x: jnp.ndarray, mesh: Mesh):
+    """Channelize a time-sharded stream [T·M] over mesh axis 'time'.
+
+    Returns channels [M, T] with the same values a single-device
+    ``ch.analyzer_execute`` (zero initial state) would produce, except the
+    first p output steps of the whole stream which are zero-state transients
+    on both paths.
+    """
+    M = ch.num_channels
+    p = ch.p
+    halo = p * M
+
+    def local(block):
+        tail = block[..., block.shape[-1] - halo :]
+        n_dev = jax.lax.axis_size("time")
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        recv = jax.lax.ppermute(tail, "time", perm)
+        idx = jax.lax.axis_index("time")
+        lead = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+        return _local_analyze(ch, jnp.concatenate([lead, block], axis=-1))
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("time"),
+        out_specs=P(None, "time"),
+    )
+    return fn(x)
+
+
+def sharded_channelize_fm(ch: Firpfbch, kf: float, x: jnp.ndarray, mesh: Mesh):
+    """Config[4] workload: channelize + per-channel FM discriminator.
+
+    The FM discriminator m[n] = arg(conj(y[n-1])·y[n])/(2π·kf) needs one
+    previous channel sample, so this path uses a one-step-larger halo of
+    (p+1)·M samples: retained steps start at p+1 with the exact step p kept
+    as the discriminator's memory. No second collective is needed.
+    """
+    M = ch.num_channels
+    p = ch.p
+    halo = (p + 1) * M
+    ref = 1.0 / (2.0 * np.pi * kf)
+
+    def local(block):
+        tail = block[..., block.shape[-1] - halo :]
+        n_dev = jax.lax.axis_size("time")
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        recv = jax.lax.ppermute(tail, "time", perm)
+        idx = jax.lax.axis_index("time")
+        lead = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+        y, _ = ch.analyzer_execute(jnp.concatenate([lead, block], axis=-1))
+        # steps p..: exact; keep step p as the discriminator's memory sample
+        yk = y[..., p:]
+        m = jnp.angle(jnp.conj(yk[..., :-1]) * yk[..., 1:]) * jnp.float32(ref)
+        return m
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("time"),
+        out_specs=P(None, "time"),
+    )
+    return fn(x)

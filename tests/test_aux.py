@@ -1,0 +1,350 @@
+"""Tests: random distributions, scrambler, bits, matrix, quantization,
+channel, FM stereo chain.
+
+Oracles: the reference's statistical tests (random/mod.rs:73-123 histogram vs
+pdf/cdf), matrix golden fixtures (matrix/test_data.rs), and config[2]'s FM
+stereo requirement.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yagi_tpu import random as yrandom
+from yagi_tpu.errors import ConfigError
+from yagi_tpu.matrix import (
+    SMatrix,
+    matrix_add,
+    matrix_aug,
+    matrix_cgsolve,
+    matrix_chol,
+    matrix_gramschmidt,
+    matrix_inv,
+    matrix_linsolve,
+    matrix_ludecomp_crout,
+    matrix_ludecomp_doolittle,
+    matrix_mul,
+    matrix_qrdecomp_gramschmidt,
+    matrix_transmul,
+)
+from yagi_tpu.utils import bits
+
+from golden_util import load
+
+
+class TestDistributions:
+    """Histogram-vs-cdf tests in the reference style (random/mod.rs:73-123)."""
+
+    @pytest.mark.parametrize(
+        "sampler,cdf",
+        [
+            (
+                lambda k, n: yrandom.randf(k, (n,)),
+                lambda x: yrandom.randf_cdf(x),
+            ),
+            (
+                lambda k, n: yrandom.randnf(k, (n,)),
+                lambda x: yrandom.randnf_cdf(x, 0.0, 1.0),
+            ),
+            (
+                lambda k, n: yrandom.randexpf(k, 2.3, (n,)),
+                lambda x: yrandom.randexpf_cdf(x, 2.3),
+            ),
+            (
+                lambda k, n: yrandom.randgammaf(k, 2.5, 1.2, (n,)),
+                lambda x: yrandom.randgammaf_cdf(x, 2.5, 1.2),
+            ),
+            (
+                lambda k, n: yrandom.randnakmf(k, 1.5, 1.0, (n,)),
+                lambda x: yrandom.randnakmf_cdf(x, 1.5, 1.0),
+            ),
+            (
+                lambda k, n: yrandom.randricekf(k, 2.0, 1.0, (n,)),
+                lambda x: yrandom.randricekf_cdf(x, 2.0, 1.0),
+            ),
+            (
+                lambda k, n: yrandom.randweibf(k, 2.0, 1.5, 0.0, (n,)),
+                lambda x: yrandom.randweibf_cdf(x, 2.0, 1.5, 0.0),
+            ),
+        ],
+        ids=["uniform", "normal", "exp", "gamma", "nakagami", "rice", "weibull"],
+    )
+    def test_empirical_cdf(self, sampler, cdf):
+        key = jax.random.key(7)
+        n = 20000
+        samples = np.sort(np.asarray(sampler(key, n)))
+        # empirical CDF vs analytic at deciles
+        for q in [0.1, 0.25, 0.5, 0.75, 0.9]:
+            x_q = samples[int(q * n)]
+            assert cdf(np.array([x_q]))[0] == pytest.approx(q, abs=0.02)
+
+    def test_cawgn_power(self):
+        key = jax.random.key(0)
+        x = jnp.zeros(50000, dtype=jnp.complex64)
+        y = yrandom.cawgn(key, x, 0.5)
+        assert float(jnp.mean(jnp.abs(y) ** 2)) == pytest.approx(0.25, rel=0.05)
+
+    def test_invalid(self):
+        key = jax.random.key(0)
+        with pytest.raises(ConfigError):
+            yrandom.randexpf(key, -1.0)
+        with pytest.raises(ConfigError):
+            yrandom.randgammaf(key, 0.0, 1.0)
+        with pytest.raises(ConfigError):
+            yrandom.randnakmf(key, 0.3, 1.0)
+        with pytest.raises(ConfigError):
+            yrandom.randuf(key, 2.0, 1.0)
+
+
+class TestScramble:
+    def test_involution(self):
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 256, size=37).astype(np.uint8)
+        s = yrandom.scramble_data(data)
+        assert not np.array_equal(s, data)
+        np.testing.assert_array_equal(yrandom.unscramble_data(s), data)
+
+    def test_soft(self):
+        """Soft unscramble flips exactly the masked bit positions."""
+        hard = np.array([0x00, 0xFF, 0xAA, 0x5C], dtype=np.uint8)
+        s = yrandom.scramble_data(hard)
+        # expand scrambled to soft bits
+        soft = np.unpackbits(s).astype(np.uint8) * 255
+        unscrambled_soft = yrandom.unscramble_data_soft(soft)
+        got_bits = (unscrambled_soft > 127).astype(np.uint8)
+        np.testing.assert_array_equal(got_bits, np.unpackbits(hard))
+
+
+class TestBits:
+    def test_counts(self):
+        assert bits.count_ones(0xFF) == 8
+        assert bits.count_ones_mod2(0x7) == 1
+        assert bits.bdotprod(0b1101, 0b1011) == (bin(0b1101 & 0b1011).count("1") & 1)
+        assert bits.count_bit_errors(0b1010, 0b0110) == 2
+        assert bits.count_bit_errors_array([0xFF, 0x00], [0x00, 0x00]) == 8
+
+    def test_reverse(self):
+        assert bits.byte_reverse(0b10000000) == 1
+        assert bits.byte_reverse(0b11001010) == 0b01010011
+        assert bits.word_reverse(1) == 0x80000000
+
+    def test_msb(self):
+        assert bits.msb_index(0) == 0
+        assert bits.msb_index(1) == 1
+        assert bits.msb_index(0x80000000) == 32
+        assert bits.count_leading_zeros(1) == 31
+
+
+class TestMatrixGolden:
+    def test_add(self):
+        g = load("matrix")
+        x = g["MATRIXF_DATA_ADD_X"].reshape(5, 4)
+        y = g["MATRIXF_DATA_ADD_Y"].reshape(5, 4)
+        z = g["MATRIXF_DATA_ADD_Z"].reshape(5, 4)
+        np.testing.assert_allclose(matrix_add(x, y), z, atol=1e-5)
+
+    def test_aug(self):
+        g = load("matrix")
+        x = g["MATRIXF_DATA_AUG_X"].reshape(5, 4)
+        y = g["MATRIXF_DATA_AUG_Y"].reshape(5, 3)
+        z = g["MATRIXF_DATA_AUG_Z"].reshape(5, 7)
+        np.testing.assert_allclose(matrix_aug(x, y), z, atol=1e-5)
+
+    def test_mul(self):
+        g = load("matrix")
+        x = g["MATRIXF_DATA_MUL_X"].reshape(5, 4)
+        y = g["MATRIXF_DATA_MUL_Y"].reshape(4, 3)
+        z = g["MATRIXF_DATA_MUL_Z"].reshape(5, 3)
+        np.testing.assert_allclose(matrix_mul(x, y), z, atol=1e-4)
+
+    def test_inv(self):
+        g = load("matrix")
+        x = g["MATRIXF_DATA_INV_X"].reshape(5, 5)
+        y = g["MATRIXF_DATA_INV_Y"].reshape(5, 5)
+        np.testing.assert_allclose(matrix_inv(x), y, atol=1e-3)
+
+    def test_linsolve(self):
+        g = load("matrix")
+        A = g["MATRIXF_DATA_LINSOLVE_A"].reshape(5, 5)
+        x = g["MATRIXF_DATA_LINSOLVE_X"]
+        b = g["MATRIXF_DATA_LINSOLVE_B"]
+        np.testing.assert_allclose(matrix_linsolve(A, b), x, atol=1e-3)
+
+    def test_cgsolve(self):
+        g = load("matrix")
+        A = g["MATRIXF_DATA_CGSOLVE_A"].reshape(8, 8)
+        x = g["MATRIXF_DATA_CGSOLVE_X"]
+        b = g["MATRIXF_DATA_CGSOLVE_B"]
+        got = matrix_cgsolve(A, b, tol=1e-9)
+        np.testing.assert_allclose(got, x, atol=1e-3)
+
+    def test_chol(self):
+        g = load("matrix")
+        A = g["MATRIXF_DATA_CHOL_A"].reshape(4, 4)
+        L = g["MATRIXF_DATA_CHOL_L"].reshape(4, 4)
+        np.testing.assert_allclose(matrix_chol(A), L, atol=1e-3)
+
+    def test_qr(self):
+        g = load("matrix")
+        A = g["MATRIXF_DATA_QRDECOMP_A"].reshape(4, 4)
+        Q, R = matrix_qrdecomp_gramschmidt(A)
+        np.testing.assert_allclose(Q @ R, A, atol=1e-4)
+        np.testing.assert_allclose(Q.T @ Q, np.eye(4), atol=1e-5)
+        # against reference fixtures (sign conventions match GS)
+        Qg = g["MATRIXF_DATA_QRDECOMP_Q"].reshape(4, 4)
+        Rg = g["MATRIXF_DATA_QRDECOMP_R"].reshape(4, 4)
+        np.testing.assert_allclose(np.abs(Q), np.abs(Qg), atol=1e-3)
+        np.testing.assert_allclose(np.abs(R), np.abs(Rg), atol=1e-3)
+
+    def test_ludecomp(self):
+        g = load("matrix")
+        A = g["MATRIXF_DATA_LUDECOMP_A"].reshape(8, 8)
+        L, U = matrix_ludecomp_crout(A)
+        np.testing.assert_allclose(L @ U, A, atol=1e-4)
+        assert np.allclose(np.diag(U), 1.0)
+        L2, U2 = matrix_ludecomp_doolittle(A)
+        np.testing.assert_allclose(L2 @ U2, A, atol=1e-4)
+        assert np.allclose(np.diag(L2), 1.0)
+
+    def test_transmul(self):
+        g = load("matrix")
+        X = g["MATRIXF_DATA_TRANSMUL_X"].reshape(5, 4)
+        np.testing.assert_allclose(
+            matrix_transmul(X), g["MATRIXF_DATA_TRANSMUL_XTX"].reshape(4, 4), atol=1e-4
+        )
+
+    def test_gramschmidt(self):
+        g = load("matrix")
+        A = g["MATRIXF_DATA_GRAMSCHMIDT_A"].reshape(4, 3)
+        V = g["MATRIXF_DATA_GRAMSCHMIDT_V"].reshape(4, 3)
+        Q = matrix_gramschmidt(A)
+        np.testing.assert_allclose(np.abs(Q), np.abs(V), atol=1e-4)
+
+
+class TestSparse:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(1)
+        d = rng.normal(size=(6, 5))
+        d[np.abs(d) < 0.8] = 0.0
+        s = SMatrix.from_array(d.astype(np.float32))
+        np.testing.assert_allclose(s.to_dense(), d, atol=1e-6)
+
+    def test_ops(self):
+        a = SMatrix(3, 3)
+        a.eye()
+        a.set(0, 2, 2.0)
+        x = np.array([1.0, 2.0, 3.0], dtype=np.float32)
+        np.testing.assert_allclose(a.vmul(x), [1 + 6, 2, 3])
+        b = SMatrix(3, 3)
+        b.eye()
+        c = a.mul(b)
+        np.testing.assert_allclose(c.to_dense(), a.to_dense())
+
+    def test_bool(self):
+        a = SMatrix(2, 3, dtype=np.uint8)
+        a.set(0, 0, 1)
+        a.set(0, 1, 1)
+        a.set(1, 2, 1)
+        y = a.vmul_bool([1, 1, 1])
+        np.testing.assert_array_equal(y, [0, 1])  # parity per row
+
+
+class TestQuantization:
+    def test_mulaw_roundtrip(self):
+        from yagi_tpu.quantization import compress_mulaw, expand_mulaw
+
+        x = jnp.linspace(-0.99, 0.99, 101)
+        y = expand_mulaw(compress_mulaw(x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
+
+    def test_adc_dac(self):
+        from yagi_tpu.quantization import quantize_adc, quantize_dac
+
+        x = jnp.linspace(-1.0, 0.999, 64)
+        q = quantize_adc(x, 8)
+        y = quantize_dac(q, 8)
+        assert float(jnp.max(jnp.abs(y - x))) <= 1.0 / 256 + 1e-6
+
+    def test_quantizer_object(self):
+        from yagi_tpu.quantization import Quantizer
+
+        qz = Quantizer(8, "mulaw")
+        x = jnp.asarray([0.5, -0.25, 0.01])
+        y = qz.execute_dac(qz.execute_adc(x))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=0.02)
+
+    def test_invalid(self):
+        from yagi_tpu.quantization import Quantizer, quantize_adc
+
+        with pytest.raises(ConfigError):
+            quantize_adc(jnp.zeros(4), 0)
+        with pytest.raises(ConfigError):
+            Quantizer(8, "alaw")
+
+
+class TestChannel:
+    def test_awgn_snr(self):
+        from yagi_tpu.channel import Channel
+
+        ch = Channel.create(snr_db=10.0)
+        x = jnp.ones(20000, dtype=jnp.complex64)
+        y, ch = ch.execute(jax.random.key(0), x)
+        noise = np.asarray(y) - 1.0
+        snr = 10 * np.log10(1.0 / np.mean(np.abs(noise) ** 2))
+        assert snr == pytest.approx(10.0, abs=0.5)
+
+    def test_carrier_offset(self):
+        from yagi_tpu.channel import Channel
+
+        ch = Channel.create(snr_db=80.0, dphi=0.1)
+        x = jnp.ones(256, dtype=jnp.complex64)
+        y, ch = ch.execute(jax.random.key(1), x)
+        dphase = np.angle(np.asarray(y)[1:] * np.conj(np.asarray(y)[:-1]))
+        assert np.median(dphase) == pytest.approx(0.1, abs=1e-3)
+
+
+class TestFmStereo:
+    def test_stereo_separation(self):
+        """Config[2]: L/R tones recovered with > 40 dB separation."""
+        from yagi_tpu.chains import FmStereoRx
+        from yagi_tpu.modem import Freqmod
+
+        n = 1 << 15
+        t = np.arange(n)
+        fp = 0.095
+        L = 0.8 * np.sin(2 * np.pi * 0.010 * t)
+        R = 0.5 * np.sin(2 * np.pi * 0.021 * t)
+        comp = (
+            0.5 * (L + R)
+            + 0.1 * np.cos(2 * np.pi * fp * t)
+            + 0.5 * (L - R) * np.cos(2 * np.pi * 2 * fp * t)
+        )
+        kf = 0.25
+        iq, _ = Freqmod.create(kf).modulate((comp * 0.5).astype(np.float32))
+
+        rx = FmStereoRx.create(kf=kf * 0.5, f_pilot=fp, deemph_alpha=1.0)
+        left, right, plev, rx = rx.step(np.asarray(iq))
+        left, right = np.asarray(left), np.asarray(right)
+
+        d = 600
+
+        def tone_amp(x, f):
+            e = np.exp(-2j * np.pi * f * t[d : len(x)])
+            return 2 * np.abs(np.mean(x[d:] * e))
+
+        assert tone_amp(left, 0.010) == pytest.approx(0.8, rel=0.05)
+        assert tone_amp(right, 0.021) == pytest.approx(0.5, rel=0.05)
+        sep_l = 20 * np.log10(tone_amp(left, 0.010) / tone_amp(left, 0.021))
+        sep_r = 20 * np.log10(tone_amp(right, 0.021) / tone_amp(right, 0.010))
+        assert sep_l > 40 and sep_r > 40
+
+    def test_deemphasis_rolloff(self):
+        """De-emphasis attenuates high audio frequencies."""
+        from yagi_tpu.chains import FmStereoRx
+
+        rx = FmStereoRx.create(deemph_alpha=0.05)
+        h = abs(rx.deemph_l.freqresponse(0.0)), abs(rx.deemph_l.freqresponse(0.05))
+        assert h[0] == pytest.approx(1.0, rel=1e-3)
+        assert h[1] < 0.3

@@ -29,3 +29,18 @@ __version__ = "0.1.0"
 
 from . import errors  # noqa: F401
 from . import math  # noqa: F401
+from . import sequence  # noqa: F401
+from . import utils  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy subpackage access (importing jax-heavy modules on demand)
+    import importlib
+
+    if name in (
+        "fft", "design", "filter", "nco", "agc", "equalization", "modem",
+        "framing", "multichannel", "random", "matrix", "optim",
+        "quantization", "channel", "chains", "parallel",
+    ):
+        return importlib.import_module(f"yagi_tpu.{name}")
+    raise AttributeError(f"module 'yagi_tpu' has no attribute {name!r}")

@@ -7,3 +7,4 @@ benchmarked as units.
 """
 
 from .rx import RxChain  # noqa: F401
+from .fm import FmStereoRx  # noqa: F401

@@ -7,3 +7,4 @@ from .psd_validate import (  # noqa: F401
     validate_psd_signalf,
     validate_psd_spgram,
 )
+from . import bits  # noqa: F401

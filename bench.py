@@ -57,6 +57,42 @@ def main() -> int:
     total_samples = channels * block * n_blocks
     msps = total_samples / dt / 1e6
 
+    # secondary metric (stderr, not the driver's JSON line): the config[4]
+    # 64-channel channelizer + per-channel FM discriminator, single chip
+    try:
+        from yagi_tpu.multichannel import Firpfbch
+
+        M = 64
+        chz = Firpfbch.create_kaiser(M, 4, 60.0)
+        T = 1 << 15
+        xc = jnp.asarray(
+            (rng.standard_normal(T * M) + 1j * rng.standard_normal(T * M)).astype(
+                np.complex64
+            )
+        )
+        kf = 0.1
+
+        def chan_fm(chz, xc):
+            y, _ = chz.analyzer_execute(xc)
+            return jnp.angle(jnp.conj(y[..., :-1]) * y[..., 1:]) * (
+                1.0 / (2.0 * np.pi * kf)
+            )
+
+        fm_fn = jax.jit(chan_fm)
+        r = fm_fn(chz, xc)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            r = fm_fn(chz, xc)
+        jax.block_until_ready(r)
+        dt_c = (time.perf_counter() - t0) / 8
+        print(
+            f"[secondary] 64-ch channelizer+FM: {T * M / dt_c / 1e6:.0f} Msps/chip",
+            file=sys.stderr,
+        )
+    except Exception as e:  # pragma: no cover — secondary metric is best-effort
+        print(f"[secondary] channelizer bench skipped: {e}", file=sys.stderr)
+
     prev = None
     try:
         with open("BENCH_PREV.json") as f:

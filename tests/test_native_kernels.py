@@ -1,0 +1,88 @@
+"""Native C ABI shim + Pallas kernel tests.
+
+The native test proves the C++ implementation of liquid's bsequence ABI
+(which the reference left unimplemented) matches the Python BSequence
+bit-for-bit. The Pallas kernel test runs in interpreter mode on CPU against
+the Osc reference implementation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yagi_tpu.sequence import BSequence, MSequence
+
+
+class TestNativeBsequence:
+    @pytest.fixture(scope="class")
+    def native(self):
+        from yagi_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native library not built (g++ unavailable)")
+        from yagi_tpu.native import NativeBSequence
+
+        return NativeBSequence
+
+    def test_matches_python(self, native):
+        ms = MSequence.create_default(7)
+        py = BSequence.from_msequence(ms)
+        ms.reset()
+        nb = native(ms.get_length())
+        for _ in range(ms.get_length()):
+            nb.push(ms.advance())
+        assert nb.accumulate() == py.accumulate()
+        for i in range(py.get_length()):
+            assert nb.index(i) == py.index(i)
+
+    def test_correlate(self, native):
+        a, b = native.create_ccodes(64)
+        pa, pb = BSequence.create_ccodes(64)
+        assert a.correlate(a) == pa.correlate(pa) == 64
+        assert a.correlate(b) == pa.correlate(pb)
+
+    def test_add_mul(self, native):
+        a, b = native.create_ccodes(32)
+        pa, pb = BSequence.create_ccodes(32)
+        assert a.add(b).accumulate() == pa.add(pb).accumulate()
+        assert a.mul(b).accumulate() == pa.mul(pb).accumulate()
+
+    def test_init_bytes(self, native):
+        data = bytes([0xDE, 0xAD, 0xBE, 0xEF])
+        nb = native(32)
+        nb.init(data)
+        py = BSequence(32)
+        py.init(data)
+        for i in range(32):
+            assert nb.index(i) == py.index(i)
+
+    def test_circshift(self, native):
+        nb = native(16)
+        nb.init(bytes([0x80, 0x01]))
+        py = BSequence(16)
+        py.init(bytes([0x80, 0x01]))
+        for _ in range(5):
+            nb.circshift()
+            py.circshift()
+        for i in range(16):
+            assert nb.index(i) == py.index(i)
+
+
+class TestPallasKernels:
+    def test_mix_kernel_interpret(self):
+        """Pallas fused mixer == Osc.mix_block_down (u32-exact), interpreted."""
+        from yagi_tpu.kernels import pallas_mix_down
+        from yagi_tpu.nco import Osc
+
+        n = 32768
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        )
+        o = Osc.create("exact").set_frequency(0.37).set_phase(1.1)
+        y_ref, _ = o.mix_block_down(x)
+        y_pl = pallas_mix_down(x, o.theta, o.d_theta, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y_pl), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+        )

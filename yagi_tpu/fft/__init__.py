@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..errors import ConfigError
 from .spgram import Spgram, spgram_estimate_psd  # noqa: F401
+from .spwaterfall import Spwaterfall  # noqa: F401
 
 __all__ = [
     "FFT_FORWARD",
@@ -26,6 +27,7 @@ __all__ = [
     "Fft",
     "Spgram",
     "spgram_estimate_psd",
+    "Spwaterfall",
 ]
 
 FFT_FORWARD = "forward"

@@ -20,3 +20,4 @@ from .iirhilb import (  # noqa: F401
 )
 from .misc import Fdelay, OrdFilt, design_lpc, levinson  # noqa: F401
 from .symsync import Symsync  # noqa: F401
+from .farrow import FirFarrow, AutoCorr, Dds  # noqa: F401

@@ -8,3 +8,4 @@ benchmarked as units.
 
 from .rx import RxChain  # noqa: F401
 from .fm import FmStereoRx  # noqa: F401
+from .qam import QamRx  # noqa: F401

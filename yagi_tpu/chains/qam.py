@@ -1,0 +1,211 @@
+"""QAM receiver / symbol tracker chain.
+
+Fills the reference's 0-byte framing stub (src/framing/symtrack.rs) and
+packages BASELINE config[3] ("16-QAM rx with EVM"). Follows liquid's
+symtrack_cccf composition: AGC → polyphase symbol synchronizer (2
+samples/symbol out) → decision-directed LMS equalizer → carrier-phase PLL →
+hard-decision demod, with running EVM.
+
+The whole pipeline is one pytree with a jittable ``step``: the symsync emits
+a fixed-capacity, front-compacted buffer with a valid count, and the
+eq/carrier stage scans that capacity gating every state update on validity —
+so the chain is block-split invariant and shape-static under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._src import struct
+from ..agc import Agc
+from ..design import FirFilterShape
+from ..equalization import Eqlms
+from ..errors import ConfigError
+from ..filter import Symsync
+from ..modem import Modem
+
+__all__ = ["QamRx"]
+
+
+def _tree_where(pred, a, b):
+    """Per-leaf select with trailing-dim broadcast of a batch-shaped pred."""
+
+    def sel(x, y):
+        p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim)) if (
+            hasattr(x, "ndim") and x.ndim > pred.ndim
+        ) else pred
+        return jnp.where(p, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+@struct.pytree
+class QamRx:
+    """agc → symsync → eqlms → carrier PLL → demod (symtrack semantics)."""
+
+    k: int = struct.static_field()  # input samples/symbol
+    k_eq: int = struct.static_field()  # samples/symbol into the equalizer (2)
+    agc: Agc = struct.field()
+    symsync: Symsync = struct.field()
+    eq: Eqlms = struct.field()
+    table: jnp.ndarray = struct.field()  # constellation points
+    alpha: jnp.ndarray = struct.field()  # PLL proportional gain
+    beta: jnp.ndarray = struct.field()  # PLL integral gain
+    theta: jnp.ndarray = struct.field()  # carrier phase
+    dtheta: jnp.ndarray = struct.field()  # carrier frequency
+    sym_phase: jnp.ndarray = struct.field()  # int32 mod k_eq
+    evm_accum: jnp.ndarray = struct.field()
+    evm_count: jnp.ndarray = struct.field()
+
+    @classmethod
+    def create(
+        cls,
+        ftype: str = "rrcos",
+        k: int = 2,
+        m: int = 7,
+        beta: float = 0.3,
+        scheme: str = "qam16",
+        eq_len: int = 7,
+        eq_bw: float = 0.02,
+        pll_bw: float = 0.02,
+        batch_shape: tuple = (),
+    ) -> "QamRx":
+        if k < 2:
+            raise ConfigError("samples/symbol must be at least 2")
+        if not 0.0 < beta <= 1.0:
+            raise ConfigError("filter excess bandwidth must be in (0, 1]")
+        if eq_len % 2 == 0:
+            raise ConfigError("equalizer length must be odd")
+        modem = Modem.create(scheme)
+        if isinstance(ftype, str):
+            ftype = FirFilterShape.from_str(ftype)
+        ss = Symsync.create_rnyquist(
+            ftype, k, m, beta, batch_shape=batch_shape
+        ).set_output_rate(2)
+        # identity init: the symsync already matched-filters, so the eq
+        # starts as a pure (eq_len-1)/2-sample delay and learns residual ISI
+        eq = Eqlms.create(h_len=eq_len, batch_shape=batch_shape).set_bw(eq_bw)
+        z = jnp.zeros(batch_shape, dtype=jnp.float32)
+        return cls(
+            k=k,
+            k_eq=2,
+            # narrow AGC: wide loops track the QAM envelope itself and
+            # distort the constellation (~12 dB EVM penalty at bw=0.02)
+            agc=Agc.create(batch_shape=batch_shape).set_bandwidth(1e-3),
+            symsync=ss,
+            eq=eq,
+            table=modem.table,
+            alpha=jnp.asarray(pll_bw, dtype=jnp.float32),
+            beta=jnp.asarray(0.5 * pll_bw * pll_bw, dtype=jnp.float32),
+            theta=z,
+            dtheta=z,
+            # the eq's initial lowpass delays by (eq_len-1)/2 samples; start
+            # the symbol-phase counter so instants line up at the eq OUTPUT
+            sym_phase=jnp.full(batch_shape, (-((eq_len - 1) // 2)) % 2, jnp.int32),
+            evm_accum=z,
+            evm_count=z,
+        )
+
+    def reset(self) -> "QamRx":
+        z = jnp.zeros_like(self.theta)
+        return self.replace(
+            agc=self.agc.reset(),
+            symsync=self.symsync.reset(),
+            eq=self.eq.reset(),
+            theta=z,
+            dtheta=z,
+            sym_phase=jnp.full_like(
+                self.sym_phase, (-((self.eq.h_len - 1) // 2)) % 2
+            ),
+            evm_accum=z,
+            evm_count=z,
+        )
+
+    def set_bandwidth(self, pll_bw: float) -> "QamRx":
+        """Carrier-loop bandwidth (symtrack set_bandwidth semantics)."""
+        if isinstance(pll_bw, (int, float)) and pll_bw < 0.0:
+            raise ConfigError("bandwidth must be non-negative")
+        bw = jnp.asarray(pll_bw, dtype=jnp.float32)
+        return self.replace(alpha=bw, beta=0.5 * bw * bw)
+
+    def get_evm(self):
+        """Running EVM in dB over all demodulated symbols."""
+        ms = self.evm_accum / jnp.maximum(self.evm_count, 1.0)
+        return 10.0 * jnp.log10(jnp.maximum(ms, 1e-12))
+
+    def step(self, x):
+        """Process one block.
+
+        Returns ``(syms, soft, num_syms, chain)``: ``syms`` (uint32) and
+        ``soft`` (complex, carrier-corrected equalizer output) have capacity
+        ``2 * capacity(symsync)`` entries compacted to the front;
+        ``num_syms`` counts the valid ones.
+        """
+        x = jnp.asarray(x)
+        y0, agc = self.agc.execute_block(x)
+        y1, n1, ss = self.symsync.execute(y0)
+        cap = y1.shape[-1]
+        valid = jnp.arange(cap) < n1[..., None] if n1.ndim else jnp.arange(cap) < n1
+
+        def body(carry, inp):
+            eq, theta, dtheta, sph, eacc, ecnt = carry
+            xi, vi = inp
+            eq_p = eq.push(xi)
+            y = eq_p.execute()
+            is_sym = vi & (sph == 0)
+            # gate adaptation on healthy buffer energy: the normalized-LMS
+            # step divides by x2_sum, which explodes on the symsync warm-up
+            # transient (liquid symtrack gates via acquire states instead)
+            can_adapt = is_sym & (eq_p.x2_sum > 0.5 * self.eq.h_len)
+
+            vs = y * jnp.exp(-1j * theta).astype(y.dtype)
+            d2 = jnp.abs(vs[..., None] - self.table) ** 2
+            s = jnp.argmin(d2, axis=-1).astype(jnp.uint32)
+            shat = jnp.take(self.table, s, axis=0)
+
+            pe = (vs * jnp.conj(shat)).imag / jnp.maximum(
+                jnp.abs(shat) ** 2, 1e-12
+            )
+            theta_n = theta + dtheta + self.alpha * pe
+            dtheta_n = dtheta + self.beta * pe
+            d_train = shat * jnp.exp(1j * theta).astype(y.dtype)
+            eq_u = eq_p.step(d_train, y)
+
+            eq = _tree_where(can_adapt, eq_u, _tree_where(vi, eq_p, eq))
+            theta = jnp.where(can_adapt, theta_n, theta)
+            dtheta = jnp.where(can_adapt, dtheta_n, dtheta)
+            sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
+            eacc = jnp.where(can_adapt, eacc + jnp.abs(vs - shat) ** 2, eacc)
+            ecnt = jnp.where(can_adapt, ecnt + 1.0, ecnt)
+            return (eq, theta, dtheta, sph, eacc, ecnt), (s, vs, is_sym)
+
+        carry0 = (
+            self.eq, self.theta, self.dtheta, self.sym_phase,
+            self.evm_accum, self.evm_count,
+        )
+        xt = jnp.moveaxis(y1, -1, 0)
+        vt = jnp.moveaxis(valid, -1, 0)
+        carry, (st, vst, mt) = jax.lax.scan(body, carry0, (xt, vt))
+        eq, theta, dtheta, sph, eacc, ecnt = carry
+
+        syms = jnp.moveaxis(st, 0, -1)
+        soft = jnp.moveaxis(vst, 0, -1)
+        mask = jnp.moveaxis(mt, 0, -1)
+        num_syms = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        order = jnp.argsort(~mask, axis=-1, stable=True)
+        syms = jnp.take_along_axis(syms, order, axis=-1)
+        soft = jnp.take_along_axis(soft, order, axis=-1)
+        soft = jnp.where(jnp.arange(cap) < num_syms[..., None] if num_syms.ndim
+                         else jnp.arange(cap) < num_syms, soft, 0)
+        syms = jnp.where(jnp.arange(cap) < num_syms[..., None] if num_syms.ndim
+                         else jnp.arange(cap) < num_syms, syms, 0)
+
+        new = self.replace(
+            agc=agc, symsync=ss, eq=eq, theta=theta, dtheta=dtheta,
+            sym_phase=sph, evm_accum=eacc, evm_count=ecnt,
+        )
+        return syms, soft, num_syms, new
+
+    __call__ = step

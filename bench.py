@@ -27,7 +27,8 @@ def main() -> int:
 
     channels = 16
     block = 1 << 17  # 131072 samples per channel per block
-    n_blocks = 8
+    n_blocks = 4
+    n_reps = 5  # median-of-reps to ride out tunnel/host jitter
     warmup_blocks = 2
 
     chain = RxChain.create(
@@ -48,14 +49,20 @@ def main() -> int:
         y, k, c = step(c, x)
     jax.block_until_ready(y)
 
-    t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        y, k, c = step(c, x)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
-
-    total_samples = channels * block * n_blocks
-    msps = total_samples / dt / 1e6
+    rates = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        for _ in range(n_blocks):
+            y, k, c = step(c, x)
+        jax.block_until_ready(y)
+        dt = time.perf_counter() - t0
+        rates.append(channels * block * n_blocks / dt / 1e6)
+    msps = float(np.median(rates))
+    print(
+        f"[reps] chain Msps min/median/max: "
+        f"{min(rates):.0f}/{msps:.0f}/{max(rates):.0f}",
+        file=sys.stderr,
+    )
 
     # secondary metric (stderr, not the driver's JSON line): the config[4]
     # 64-channel channelizer + per-channel FM discriminator, single chip

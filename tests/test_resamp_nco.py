@@ -139,6 +139,27 @@ class TestResamp:
         with pytest.raises(ConfigError):
             Resamp.create(300.0)
 
+    @pytest.mark.parametrize("rate", [0.75, 1.0, 1.7, 2.0, 3.1])
+    def test_fused_mix_down_bit_identical(self, rate):
+        """execute_block_mix_down == execute_block + mix_block_down_n exactly,
+        including resampler phase and oscillator theta carry across blocks."""
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(
+            (rng.standard_normal((3, 1200)) + 1j * rng.standard_normal((3, 1200))
+             ).astype(np.complex64)
+        )
+        rs1 = Resamp.create(rate, batch_shape=(3,))
+        osc1 = Osc.create("exact", batch_shape=(3,)).set_frequency(0.2)
+        rs2, osc2 = rs1, osc1
+        for blk in jnp.split(x, [400, 401], axis=-1):
+            ya, ka, rs1 = rs1.execute_block(blk)
+            ya, osc1 = osc1.mix_block_down_n(ya, ka)
+            yb, kb, rs2, osc2 = rs2.execute_block_mix_down(blk, osc2)
+            assert int(np.asarray(ka)) == int(np.asarray(kb))
+            np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+        np.testing.assert_array_equal(np.asarray(rs1.phase), np.asarray(rs2.phase))
+        np.testing.assert_array_equal(np.asarray(osc1.theta), np.asarray(osc2.theta))
+
 
 class TestOsc:
     def test_phase_ramp_exact(self):

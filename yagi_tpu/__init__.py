@@ -40,7 +40,7 @@ def __getattr__(name):
     if name in (
         "fft", "design", "filter", "nco", "agc", "equalization", "modem",
         "framing", "multichannel", "random", "matrix", "optim",
-        "quantization", "channel", "chains", "parallel",
+        "quantization", "channel", "chains", "parallel", "fec", "audio",
     ):
         return importlib.import_module(f"yagi_tpu.{name}")
     raise AttributeError(f"module 'yagi_tpu' has no attribute {name!r}")

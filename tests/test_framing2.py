@@ -1,0 +1,197 @@
+"""Framing-layer tests: qpacketmodem, qdetector, frame64, msource.
+
+These fill the reference's unported framing components (SURVEY.md §2.6);
+oracles are liquid-dsp's autotest criteria: clean + impaired packet
+roundtrips with CRC validation, detector parameter-estimation accuracy,
+full frame recovery through delay/CFO/phase/gain/AWGN channels, and
+msource spectral placement (PSD mask).
+"""
+
+import numpy as np
+import pytest
+
+from yagi_tpu.errors import ConfigError
+from yagi_tpu.framing import (
+    QPacketModem, QDetector, FrameGen64, FrameSync64, FRAME64_LEN, MSource,
+)
+
+
+class TestQPacketModem:
+    @pytest.mark.parametrize("ms", ["bpsk", "qpsk", "qam16", "qam64"])
+    def test_clean_roundtrip(self, ms):
+        rng = np.random.default_rng(1)
+        q = QPacketModem(40, crc="crc32", fec0="hamming128",
+                         fec1="conv27p23", mod_scheme=ms)
+        payload = rng.integers(0, 256, 40).astype(np.uint8)
+        x = q.encode(payload)
+        assert x.shape[0] == q.get_frame_len()
+        dec, ok = q.decode(x)
+        assert ok and (dec == payload).all()
+
+    def test_soft_decode_under_noise(self):
+        rng = np.random.default_rng(2)
+        q = QPacketModem(64, crc="crc32", fec0="hamming128",
+                         fec1="conv27p23", mod_scheme="qpsk")
+        payload = rng.integers(0, 256, 64).astype(np.uint8)
+        x = q.encode(payload)
+        noisy = (x + 0.1 * (rng.normal(size=x.shape)
+                            + 1j * rng.normal(size=x.shape))
+                 ).astype(np.complex64)
+        dec, ok = q.decode_soft(noisy)
+        assert ok and (dec == payload).all()
+
+    def test_wrong_length_raises(self):
+        q = QPacketModem(16)
+        with pytest.raises(ConfigError):
+            q.decode(np.zeros(3, np.complex64))
+
+
+class TestQDetector:
+    def test_estimates_all_parameters(self):
+        rng = np.random.default_rng(3)
+        s = (rng.normal(size=96) + 1j * rng.normal(size=96)
+             ).astype(np.complex64)
+        det = QDetector(s, threshold=0.5, dphi_max=0.02, n_dphi=9)
+        true = dict(tau=201, dphi=0.008, phi=-1.2, gamma=0.7)
+        x = 0.05 * (rng.normal(size=600)
+                    + 1j * rng.normal(size=600)).astype(np.complex64)
+        n = np.arange(96)
+        x[true["tau"]: true["tau"] + 96] += (
+            true["gamma"] * s
+            * np.exp(1j * (true["dphi"] * n + true["phi"]))
+        ).astype(np.complex64)
+        r = det.detect(x)
+        assert r is not None
+        assert abs(r["tau"] - true["tau"]) < 0.5
+        assert abs(r["dphi"] - true["dphi"]) < 2e-3
+        assert abs(r["gamma"] - true["gamma"]) < 0.1
+        assert r["rxy"] > 0.8
+
+    def test_no_false_alarm_on_noise(self):
+        rng = np.random.default_rng(4)
+        s = (rng.normal(size=96) + 1j * rng.normal(size=96)
+             ).astype(np.complex64)
+        det = QDetector(s, threshold=0.5)
+        for _ in range(5):
+            noise = (rng.normal(size=600) + 1j * rng.normal(size=600)
+                     ).astype(np.complex64)
+            assert det.detect(noise) is None
+
+    def test_invalid_config(self):
+        with pytest.raises(ConfigError):
+            QDetector(np.ones(4, np.complex64))
+        with pytest.raises(ConfigError):
+            QDetector(np.ones(64, np.complex64), n_dphi=4)
+
+
+class TestFrame64:
+    def _run_channel(self, seed, snr_db, dphi, tau_frac, gain):
+        rng = np.random.default_rng(seed)
+        gen = FrameGen64()
+        sync = FrameSync64()
+        hdr = rng.integers(0, 256, 8).astype(np.uint8)
+        pld = rng.integers(0, 256, 64).astype(np.uint8)
+        frame = gen.execute(hdr, pld)
+        assert frame.size == FRAME64_LEN
+        i0 = 81
+        f = np.fft.fftfreq(frame.size)
+        frame_d = np.fft.ifft(np.fft.fft(frame)
+                              * np.exp(-2j * np.pi * f * tau_frac))
+        buf = np.zeros(frame.size + 260, np.complex64)
+        n = np.arange(frame.size)
+        buf[i0: i0 + frame.size] = (
+            gain * frame_d * np.exp(1j * (dphi * (n + i0) + 0.4))
+        ).astype(np.complex64)
+        sigma = gain * np.sqrt(np.mean(np.abs(frame) ** 2)) \
+            * 10 ** (-snr_db / 20) / np.sqrt(2)
+        buf += (rng.normal(0, sigma, buf.size)
+                + 1j * rng.normal(0, sigma, buf.size)).astype(np.complex64)
+        r = sync.execute(buf)
+        return r, hdr, pld
+
+    def test_clean_loopback(self):
+        rng = np.random.default_rng(5)
+        gen, sync = FrameGen64(), FrameSync64()
+        hdr = rng.integers(0, 256, 8).astype(np.uint8)
+        pld = rng.integers(0, 256, 64).astype(np.uint8)
+        buf = np.zeros(FRAME64_LEN + 120, np.complex64)
+        buf[60: 60 + FRAME64_LEN] = gen.execute(hdr, pld)
+        r = sync.execute(buf)
+        assert r["header_valid"] and r["payload_valid"]
+        assert (r["header"] == hdr).all() and (r["payload"] == pld).all()
+        assert r["stats"]["evm_db"] < -35
+
+    @pytest.mark.parametrize("seed,dphi,tau_frac,gain", [
+        (10, 0.012, 0.37, 0.5),
+        (11, -0.008, 0.81, 1.3),
+        (12, 0.0, 0.0, 1.0),
+    ])
+    def test_impaired_channel_20db(self, seed, dphi, tau_frac, gain):
+        r, hdr, pld = self._run_channel(seed, 20.0, dphi, tau_frac, gain)
+        assert r is not None
+        assert r["header_valid"] and (r["header"] == hdr).all()
+        assert r["payload_valid"] and (r["payload"] == pld).all()
+        assert abs(r["stats"]["dphi"] - dphi) < 1e-3
+
+    def test_no_detection_on_noise(self):
+        rng = np.random.default_rng(13)
+        sync = FrameSync64()
+        noise = (rng.normal(size=FRAME64_LEN + 200)
+                 + 1j * rng.normal(size=FRAME64_LEN + 200)
+                 ).astype(np.complex64)
+        assert sync.execute(noise) is None
+
+    def test_bad_lengths(self):
+        gen = FrameGen64()
+        with pytest.raises(ConfigError):
+            gen.execute(np.zeros(7, np.uint8), np.zeros(64, np.uint8))
+        with pytest.raises(ConfigError):
+            gen.execute(np.zeros(8, np.uint8), np.zeros(63, np.uint8))
+
+
+class TestMSource:
+    def test_tone_placement(self):
+        src = MSource(seed=1)
+        src.add_tone(fc=0.2, gain_db=0.0)
+        x = src.write_samples(4096)
+        psd = np.abs(np.fft.fft(x)) ** 2
+        fpeak = np.fft.fftfreq(4096)[np.argmax(psd)]
+        assert abs(fpeak - 0.2) < 1e-3
+
+    def test_block_invariance(self):
+        a = MSource(seed=2)
+        a.add_tone(fc=-0.1)
+        one = a.write_samples(1000)
+        b = MSource(seed=2)
+        b.add_tone(fc=-0.1)
+        two = np.concatenate([b.write_samples(300), b.write_samples(700)])
+        np.testing.assert_allclose(one, two, rtol=1e-5, atol=1e-6)
+
+    def test_noise_band_confined(self):
+        src = MSource(seed=3)
+        src.add_noise(fc=0.15, bw=0.1, gain_db=0.0)
+        x = src.write_samples(1 << 15)
+        f = np.fft.fftfreq(x.size)
+        psd = np.abs(np.fft.fft(x)) ** 2 / x.size
+        inband = psd[np.abs(f - 0.15) < 0.04].mean()
+        outband = psd[np.abs(f + 0.2) < 0.04].mean()
+        assert 10 * np.log10(inband / (outband + 1e-20)) > 40
+
+    def test_modem_source_and_management(self):
+        src = MSource(seed=4)
+        sid = src.add_modem("qpsk", fc=-0.2, bw=0.1, gain_db=-3.0)
+        src.add_tone(fc=0.3)
+        assert src.get_num_sources() == 2
+        x = src.write_samples(8192)
+        assert np.mean(np.abs(x) ** 2) > 0
+        src.disable(sid)
+        y = src.write_samples(4096)
+        f = np.fft.fftfreq(y.size)
+        psd = np.abs(np.fft.fft(y)) ** 2
+        # modem band muted, tone remains
+        assert psd[np.argmin(np.abs(f - 0.3))] > 100 * psd[
+            np.argmin(np.abs(f + 0.2))]
+        src.remove(sid)
+        assert src.get_num_sources() == 1
+        with pytest.raises(ConfigError):
+            src.remove(sid)

@@ -77,3 +77,27 @@ class Packetizer:
         ok = crc_validate_message(self.crc, payload, key) \
             if self.crc != CrcScheme.NONE else True
         return payload, bool(ok)
+
+    def decode_soft(self, levels):
+        """Soft-decision decode from per-bit levels in [0,1] (one level per
+        encoded bit, 8*enc_len total). The outer interleaver permutation is
+        applied directly to the soft levels so the outer FEC (typically a
+        convolutional code) decodes from soft inputs; inner stages proceed
+        on hard bytes as in liquid's packetizer."""
+        levels = np.asarray(levels, dtype=np.float32).ravel()
+        if levels.shape[0] != 8 * self.enc_len:
+            raise ConfigError(
+                f"soft length {levels.shape[0]} != 8*enc_len "
+                f"({8 * self.enc_len})")
+        deint = levels[self._il1._iperm]
+        stage = self.fec1.decode_soft(deint, self._len1)
+        stage = self._il0.decode(stage)
+        stage = self.fec0.decode(stage, self._len0)
+        payload = stage[: self.msg_len]
+        nk = crc_sizeof_key(self.crc)
+        key = 0
+        for b in stage[self.msg_len: self.msg_len + nk]:
+            key = (key << 8) | int(b)
+        ok = crc_validate_message(self.crc, payload, key) \
+            if self.crc != CrcScheme.NONE else True
+        return payload, bool(ok)

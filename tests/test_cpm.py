@@ -1,0 +1,155 @@
+"""Continuous-phase modem tests (GMSK, CPFSK).
+
+Modeled on liquid's gmskmodem / cpfskmodem autotests: clean-channel
+roundtrips across parameter sets, constant-envelope property, block-split
+(streaming state carry) invariance.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yagi_tpu.errors import ConfigError
+from yagi_tpu.modem import (
+    GmskMod, GmskDem, CpfskMod, CpfskDem, CpfskFilterType,
+)
+
+
+class TestGmsk:
+    @pytest.mark.parametrize("k,m,bt", [
+        (2, 5, 0.2), (2, 5, 0.3), (2, 5, 0.4),
+        (4, 5, 0.2), (4, 5, 0.3), (4, 5, 0.4),
+        (3, 7, 0.2), (8, 4, 0.3),
+    ])
+    def test_roundtrip(self, k, m, bt):
+        """liquid autotest gmskmodem_k*_m*_bt* model: mod->demod
+        recovers the bit stream after the 2m-symbol latency."""
+        rng = np.random.default_rng(1234)
+        nbits = 200
+        bits = rng.integers(0, 2, nbits).astype(np.uint8)
+        mod = GmskMod.create(k=k, m=m, bt=bt)
+        dem = GmskDem.create(k=k, m=m, bt=bt)
+        tx = np.concatenate([bits, np.zeros(2 * m, np.uint8)])
+        y, mod = mod.modulate(tx)
+        out, dem = dem.demodulate(y)
+        out = np.asarray(out)
+        # skip the rx transient at the start (2m symbols)
+        d = 2 * m
+        np.testing.assert_array_equal(out[d: d + nbits - d], bits[: nbits - d])
+
+    def test_constant_envelope(self):
+        rng = np.random.default_rng(7)
+        bits = rng.integers(0, 2, 256).astype(np.uint8)
+        mod = GmskMod.create(k=4, m=3, bt=0.3)
+        y, _ = mod.modulate(bits)
+        np.testing.assert_allclose(np.abs(np.asarray(y)), 1.0, atol=1e-5)
+
+    def test_block_split_invariance(self):
+        """Streaming state carry: splitting the bit stream into blocks
+        produces bit-identical samples to one contiguous call."""
+        rng = np.random.default_rng(42)
+        bits = rng.integers(0, 2, 128).astype(np.uint8)
+        mod = GmskMod.create(k=2, m=4, bt=0.35)
+        y_all, _ = mod.modulate(bits)
+        mod2 = GmskMod.create(k=2, m=4, bt=0.35)
+        parts = []
+        for blk in np.split(bits, [13, 50, 99]):
+            yb, mod2 = mod2.modulate(blk)
+            parts.append(np.asarray(yb))
+        np.testing.assert_allclose(
+            np.asarray(y_all), np.concatenate(parts), atol=1e-5)
+
+    def test_batched(self):
+        rng = np.random.default_rng(3)
+        bits = rng.integers(0, 2, (5, 64)).astype(np.uint8)
+        mod = GmskMod.create(k=2, m=3, bt=0.3, batch_shape=(5,))
+        y, _ = mod.modulate(bits)
+        assert y.shape == (5, 128)
+        # each row equals an unbatched run
+        m1 = GmskMod.create(k=2, m=3, bt=0.3)
+        y0, _ = m1.modulate(bits[2])
+        np.testing.assert_allclose(np.asarray(y[2]), np.asarray(y0),
+                                   atol=1e-5)
+
+    def test_config_errors(self):
+        with pytest.raises(ConfigError):
+            GmskMod.create(k=1)
+        with pytest.raises(ConfigError):
+            GmskMod.create(m=0)
+        with pytest.raises(ConfigError):
+            GmskMod.create(bt=1.5)
+        with pytest.raises(ConfigError):
+            GmskDem.create(bt=0.0)
+
+
+class TestCpfsk:
+    @pytest.mark.parametrize("bps,h,k,m,ftype", [
+        (1, 0.5, 4, 3, CpfskFilterType.SQUARE),     # MSK-like
+        (1, 1.0, 4, 3, CpfskFilterType.SQUARE),
+        (2, 0.5, 4, 3, CpfskFilterType.SQUARE),
+        (2, 0.25, 8, 3, CpfskFilterType.SQUARE),
+        (1, 0.5, 4, 3, CpfskFilterType.RCOS_FULL),
+        (2, 0.5, 8, 3, CpfskFilterType.RCOS_FULL),
+        (1, 0.5, 4, 3, CpfskFilterType.RCOS_PARTIAL),
+        (1, 0.5, 4, 3, CpfskFilterType.GMSK),
+    ])
+    def test_roundtrip(self, bps, h, k, m, ftype):
+        """liquid autotest cpfskmodem_* model: clean roundtrip."""
+        rng = np.random.default_rng(99)
+        nsym = 200
+        M = 1 << bps
+        syms = rng.integers(0, M, nsym).astype(np.int32)
+        mod = CpfskMod.create(bps=bps, h_index=h, k=k, m=m, ftype=ftype)
+        dem = CpfskDem.create(bps=bps, h_index=h, k=k, m=m, ftype=ftype)
+        flush = dem.delay_syms + 2 * m
+        tx = np.concatenate([syms, np.zeros(flush, np.int32)])
+        y, mod = mod.modulate(tx)
+        out, dem = dem.demodulate(y)
+        out = np.asarray(out)
+        d = dem.delay_syms
+        skip = d  # rx transient
+        np.testing.assert_array_equal(out[d + skip: d + nsym],
+                                      syms[skip: nsym])
+
+    def test_constant_envelope(self):
+        rng = np.random.default_rng(11)
+        syms = rng.integers(0, 4, 128).astype(np.int32)
+        mod = CpfskMod.create(bps=2, h_index=0.5, k=4, m=3)
+        y, _ = mod.modulate(syms)
+        np.testing.assert_allclose(np.abs(np.asarray(y)), 1.0, atol=1e-5)
+
+    def test_phase_per_symbol(self):
+        """Full-response square pulse: each symbol advances the phase by
+        exactly pi*h*(2s-(M-1)) once its pulse completes."""
+        mod = CpfskMod.create(bps=1, h_index=0.5, k=4, m=3,
+                              ftype=CpfskFilterType.SQUARE)
+        y, mod = mod.modulate(np.array([1, 1, 1, 1], np.int32))
+        th = np.unwrap(np.angle(np.asarray(y)))
+        # total phase after 4 unit symbols = 4 * pi * 0.5
+        np.testing.assert_allclose(th[-1], 4 * np.pi * 0.5, atol=1e-4)
+
+    def test_block_split_invariance(self):
+        rng = np.random.default_rng(5)
+        syms = rng.integers(0, 2, 96).astype(np.int32)
+        kw = dict(bps=1, h_index=0.5, k=4, m=3,
+                  ftype=CpfskFilterType.GMSK)
+        mod = CpfskMod.create(**kw)
+        y_all, _ = mod.modulate(syms)
+        mod2 = CpfskMod.create(**kw)
+        parts = []
+        for blk in np.split(syms, [7, 40, 71]):
+            yb, mod2 = mod2.modulate(blk)
+            parts.append(np.asarray(yb))
+        np.testing.assert_allclose(np.asarray(y_all),
+                                   np.concatenate(parts), atol=1e-5)
+
+    def test_config_errors(self):
+        with pytest.raises(ConfigError):
+            CpfskMod.create(bps=0)
+        with pytest.raises(ConfigError):
+            CpfskMod.create(h_index=0.0)
+        with pytest.raises(ConfigError):
+            CpfskMod.create(ftype="bogus")
+        with pytest.raises(ConfigError):
+            CpfskDem.create(ftype="bogus")

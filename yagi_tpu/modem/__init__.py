@@ -3,3 +3,6 @@
 from .modem import Modem, ModulationScheme, gray_encode, gray_decode  # noqa: F401
 from .freq import Freqmod, Freqdem  # noqa: F401
 from .fsk import Fskmod, Fskdem  # noqa: F401
+from .cpm import (  # noqa: F401
+    GmskMod, GmskDem, CpfskMod, CpfskDem, CpfskFilterType,
+)

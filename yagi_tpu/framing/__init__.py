@@ -2,11 +2,14 @@
 
 Beyond the reference's SymStream/SymStreamR, this package fills the
 framing components yagi declared but never ported (SURVEY.md §2.6):
-qpacketmodem, qdetector, frame64 gen/sync, msource.
+qpacketmodem, qdetector, qdsync, qpilotgen/qpilotsync, frame64 gen/sync,
+flexframe gen/sync, gmskframe gen/sync, msource.
 """
 
 from .symstream import SymStream, SymStreamR  # noqa: F401
 from .qpacketmodem import QPacketModem  # noqa: F401
 from .qdetector import QDetector  # noqa: F401
+from .qdsync import QDSync  # noqa: F401
+from .qpilot import QPilotGen, QPilotSync  # noqa: F401
 from .frame64 import FrameGen64, FrameSync64, FRAME64_LEN  # noqa: F401
 from .msource import MSource  # noqa: F401

@@ -12,4 +12,6 @@ from .qdetector import QDetector  # noqa: F401
 from .qdsync import QDSync  # noqa: F401
 from .qpilot import QPilotGen, QPilotSync  # noqa: F401
 from .frame64 import FrameGen64, FrameSync64, FRAME64_LEN  # noqa: F401
+from .flexframe import FlexFrameGen, FlexFrameSync  # noqa: F401
+from .gmskframe import GmskFrameGen, GmskFrameSync  # noqa: F401
 from .msource import MSource  # noqa: F401

@@ -14,4 +14,6 @@ from .qpilot import QPilotGen, QPilotSync  # noqa: F401
 from .frame64 import FrameGen64, FrameSync64, FRAME64_LEN  # noqa: F401
 from .flexframe import FlexFrameGen, FlexFrameSync  # noqa: F401
 from .gmskframe import GmskFrameGen, GmskFrameSync  # noqa: F401
+from .dsssframe import DsssFrameGen64, DsssFrameSync64  # noqa: F401
+from .fskframe import FskFrameGen, FskFrameSync  # noqa: F401
 from .msource import MSource  # noqa: F401

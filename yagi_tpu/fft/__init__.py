@@ -17,6 +17,8 @@ import jax.numpy as jnp
 from ..errors import ConfigError
 from .spgram import Spgram, spgram_estimate_psd  # noqa: F401
 from .spwaterfall import Spwaterfall  # noqa: F401
+from .r2r import dct, dst, r2r_inverse_scale  # noqa: F401
+from .asgram import Asgram  # noqa: F401
 
 __all__ = [
     "FFT_FORWARD",

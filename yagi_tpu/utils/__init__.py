@@ -8,3 +8,4 @@ from .psd_validate import (  # noqa: F401
     validate_psd_spgram,
 )
 from . import bits  # noqa: F401
+from . import byteops  # noqa: F401

@@ -6,3 +6,4 @@ from .fsk import Fskmod, Fskdem  # noqa: F401
 from .cpm import (  # noqa: F401
     GmskMod, GmskDem, CpfskMod, CpfskDem, CpfskFilterType,
 )
+from .ampmodem import AmpModem, AmpModemType  # noqa: F401

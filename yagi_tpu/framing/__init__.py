@@ -17,3 +17,6 @@ from .gmskframe import GmskFrameGen, GmskFrameSync  # noqa: F401
 from .dsssframe import DsssFrameGen64, DsssFrameSync64  # noqa: F401
 from .fskframe import FskFrameGen, FskFrameSync  # noqa: F401
 from .msource import MSource  # noqa: F401
+from .bsync import BSync  # noqa: F401
+from .detector import Detector  # noqa: F401
+from .bpacket import BPacketGen, BPacketSync  # noqa: F401

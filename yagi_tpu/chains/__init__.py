@@ -7,5 +7,6 @@ benchmarked as units.
 """
 
 from .rx import RxChain  # noqa: F401
+from .fused import FusedRxChain  # noqa: F401
 from .fm import FmStereoRx  # noqa: F401
 from .qam import QamRx  # noqa: F401

@@ -8,3 +8,4 @@ FIR+resample+mix chain kernel is the round-2 target.
 """
 
 from .mix import pallas_mix_down  # noqa: F401
+from .chain import chain_matrices, fused_chain_apply  # noqa: F401

@@ -9,3 +9,10 @@ from .psd_validate import (  # noqa: F401
 )
 from . import bits  # noqa: F401
 from . import byteops  # noqa: F401
+from .planar import (  # noqa: F401
+    Planar,
+    planarize,
+    unplanarize,
+    planar,
+    planar_jit,
+)

@@ -42,12 +42,17 @@ class Window:
         self.v[:] = 0
 
     def read(self) -> np.ndarray:
-        """Contiguous view, index 0 = oldest (window.rs:66-68)."""
-        return self.v
+        """Contiguous snapshot, index 0 = oldest (window.rs:66-68).
+
+        Returns a copy: the reference hands out an immutable borrow, so a
+        returned buffer must neither mutate on the next push() nor allow the
+        caller to corrupt window state by writing into it.
+        """
+        return self.v.copy()
 
     def index(self, i: int):
         """i-th element, 0 = oldest (window.rs:70-75)."""
-        if i >= self.len:
+        if not 0 <= i < self.len:
             raise ValueRangeError("index value out of range")
         return self.v[i]
 
@@ -159,12 +164,14 @@ class CBuffer:
 
     def read(self, n: int) -> np.ndarray:
         """Oldest ``n`` elements without consuming them."""
+        if n < 0:
+            raise ValueRangeError("read count must be non-negative")
         n = min(int(n), self.count)
         idx = (self.head + np.arange(n)) % self.max_size
         return self.v[idx]
 
     def release(self, n: int) -> None:
-        if n > self.count:
+        if not 0 <= n <= self.count:
             raise ValueRangeError("cannot release more elements than are in the buffer")
         self.head = (self.head + n) % self.max_size
         self.count -= n

@@ -84,23 +84,24 @@ def chain_matrices(h, scale, branches, p: int) -> np.ndarray:
 
 
 def _chain_kernel(p: int, r: int, precision, scal_ref, xr_ref, xi_ref, g_ref,
-                  h0r_ref, h0i_ref, yr_ref, yi_ref, hxr, hxi):
-    """One grid step: R input rows of 128 samples → R output rows of 128·P."""
+                  hr_ref, hi_ref, yr_ref, yi_ref):
+    """One grid step: R input rows of 128 samples → R output rows of 128·P.
+
+    The one-row left halo arrives as a per-tile input (precomputed strided
+    row extract in the XLA wrapper) rather than a cross-step VMEM scratch
+    carry: scratch-carry halo patterns crash the Mosaic lowering on the
+    production toolchain (lower_to_llo.cc "Check failed: d >> 32 == 0"),
+    and the halo rows are only 1/R of the stream (~6% extra HBM traffic).
+    """
     i = pl.program_id(0)
     outw = _LANE * p
 
     xr = xr_ref[:]  # [C, R, 128]
     xi = xi_ref[:]
-    # First tile takes its halo row from the carried-state input, later tiles
-    # from the scratch carry. Elementwise select, NOT @pl.when-guarded scratch
-    # init: when+read+write of one scratch ref crashes Mosaic's lowering
-    # (lower_to_llo.cc "Check failed: d >> 32 == 0").
-    h_r = jnp.where(i == 0, h0r_ref[:], hxr[:])
-    h_i = jnp.where(i == 0, h0i_ref[:], hxi[:])
+    h_r = hr_ref[0].reshape(xr.shape[0], 1, _LANE)  # [1, C, 128] → [C, 1, 128]
+    h_i = hi_ref[0].reshape(xr.shape[0], 1, _LANE)
     prev_r = jnp.concatenate([h_r, xr[:, : r - 1]], axis=1)
     prev_i = jnp.concatenate([h_i, xi[:, : r - 1]], axis=1)
-    hxr[:] = xr[:, r - 1 : r]
-    hxi[:] = xi[:, r - 1 : r]
 
     dn = (((2,), (0,)), ((), ()))
     gp = g_ref[0]  # [128, 128P] previous-row band
@@ -174,8 +175,14 @@ def fused_chain_apply(
 
     xr3 = xr.reshape(C, nb, _LANE)
     xi3 = xi.reshape(C, nb, _LANE)
-    h0r = hist_r.reshape(C, 1, _LANE)
-    h0i = hist_i.reshape(C, 1, _LANE)
+    # per-tile halo rows [grid, C, 128]: tile i's left-neighbor row (stream
+    # history for i=0); tile-major so each block is a full (C, 128) plane
+    hr = jnp.concatenate(
+        [hist_r[None], xr3[:, r - 1 :: r][:, :-1].transpose(1, 0, 2)], axis=0
+    )
+    hi = jnp.concatenate(
+        [hist_i[None], xi3[:, r - 1 :: r][:, :-1].transpose(1, 0, 2)], axis=0
+    )
     # u32 state enters the kernel bit-cast to i32 (wrapping arithmetic inside)
     scalars = jnp.stack(
         [
@@ -191,16 +198,12 @@ def fused_chain_apply(
             pl.BlockSpec((C, r, _LANE), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, r, _LANE), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, _LANE, outw), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 1, _LANE), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 1, _LANE), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, _LANE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, _LANE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((C, r, outw), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, r, outw), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((C, 1, _LANE), jnp.float32),
-            pltpu.VMEM((C, 1, _LANE), jnp.float32),
         ],
     )
     kernel = functools.partial(_chain_kernel, p, r, precision)
@@ -212,5 +215,5 @@ def fused_chain_apply(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, xr3, xi3, g, h0r, h0i)
+    )(scalars, xr3, xi3, g, hr, hi)
     return yr.reshape(C, T * p), yi.reshape(C, T * p)

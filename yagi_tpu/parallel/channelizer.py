@@ -22,7 +22,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..multichannel import Firpfbch
 
-__all__ = ["sharded_channelize", "sharded_channelize_fm"]
+__all__ = [
+    "sharded_channelize",
+    "sharded_channelize_fm",
+    "sharded_channelize_to_channels",
+    "sharded_channelize_fm_to_channels",
+]
 
 
 def _local_analyze(ch: Firpfbch, halo_and_block: jnp.ndarray) -> jnp.ndarray:

@@ -1,9 +1,11 @@
 """Test configuration: run all tests on a virtual 8-device CPU mesh.
 
-Real-TPU benchmarking happens via bench.py; unit/conformance tests use the
-XLA CPU backend with 8 virtual devices so multi-chip sharding paths
-(shard_map, ppermute halo exchange, all_to_all channel redistribution) are
-exercised without TPU hardware, per SURVEY.md §4.
+Real-TPU benchmarking happens via bench.py and tools/tpu_chain_bench.py;
+unit/conformance tests use the XLA CPU backend with 8 virtual devices so the
+multi-chip sharding paths — shard_map, ppermute halo exchange
+(tests/test_parallel.py::TestTimeShardedFir), and all_to_all channel
+redistribution (TestChannelRedistribution) — are exercised without TPU
+hardware, per SURVEY.md §4.
 """
 
 import os

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""One process of a multi-host streaming run (DCN pattern, CPU-testable).
+
+Launched N times (once per "host") by tests/test_multihost.py with:
+  MULTIHOST_COORD=127.0.0.1:<port> MULTIHOST_N=<n> MULTIHOST_ID=<i>
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=<d>
+
+Each process contributes its local time block of a [ch, time] stream, the
+global mesh spans all processes' devices, and `time_sharded_fir` runs with
+ppermute halo exchange across the host boundary. Process 0 checks the
+gathered result bit-for-bit against the single-process sequential reference
+and prints MULTIHOST_OK.
+
+This is the same wiring a real TPU pod uses (yagi_tpu/parallel/multihost.py);
+on pods `initialize_multihost()` takes no arguments.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from yagi_tpu.parallel.multihost import (
+        distribute_time_stream,
+        gather_to_hosts,
+        global_time_mesh,
+        initialize_multihost,
+    )
+    from yagi_tpu.parallel import time_sharded_fir
+
+    coord = os.environ["MULTIHOST_COORD"]
+    n_proc = int(os.environ["MULTIHOST_N"])
+    pid = int(os.environ["MULTIHOST_ID"])
+    initialize_multihost(coord, n_proc, pid)
+
+    mesh = global_time_mesh()
+    n_time = mesh.shape["time"]
+
+    # deterministic global stream, each process slices out its local block
+    rng = np.random.default_rng(0)
+    ch, L, n = 2, 33, n_time * 64
+    h = rng.standard_normal(L).astype(np.float32)
+    x = (rng.standard_normal((ch, n)) + 1j * rng.standard_normal((ch, n))).astype(
+        np.complex64
+    )
+    per_proc = n // n_proc
+    x_local = x[:, pid * per_proc : (pid + 1) * per_proc]
+
+    xg = distribute_time_stream(x_local, mesh)
+    y = jax.jit(lambda v: time_sharded_fir(h, v, mesh))(xg)
+    y_all = gather_to_hosts(y)
+
+    if pid == 0:
+        import jax.numpy as jnp
+
+        from yagi_tpu.filter import FirFilter
+
+        f = FirFilter.create(h, batch_shape=(ch,), dtype=jnp.complex64)
+        block = n // n_time
+        parts = []
+        for b in range(n_time):
+            yb, f = f.execute_block(x[:, b * block : (b + 1) * block])
+            parts.append(np.asarray(yb))
+        np.testing.assert_array_equal(y_all, np.concatenate(parts, axis=-1))
+        print(f"MULTIHOST_OK procs={n_proc} devices={len(jax.devices())} "
+              f"local={len(jax.local_devices())}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,15 +5,17 @@ is decomposed into halfband stages (bringing it into [0.5, 2]) plus one
 arbitrary-rate stage (msresamp.rs:28-80). Interpolation runs arbitrary →
 halfbands; decimation runs halfbands → arbitrary (msresamp.rs:129-164).
 
-Because the arbitrary stage emits a data-dependent sample count, the
-composite ``execute`` is host-orchestrated: each stage's kernel is jittable,
-and the variable-length hand-off between stages is compacted on the host
-using the exact count. (For end-to-end jit pipelines use Rresamp, whose
-schedule is static.)
+The composite is FULLY JITTABLE end-to-end (``execute_block``): the
+arbitrary stage's data-dependent sample count threads through the halfband
+chain via the valid-prefix convention — fixed-capacity buffers, traced
+valid counts, stage windows extracted at the traced valid end with dynamic
+slices (the Resamp fixed-capacity pattern, SURVEY.md §7 "hard parts" #2).
+``execute`` is a host-compacting convenience wrapper.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -108,45 +110,79 @@ class MsResamp:
         n = (int(np.asarray(self.carry_len)) + num_input) >> self.num_halfband_stages
         return self.arbitrary.get_num_output(n)
 
-    def execute(self, x) -> tuple[np.ndarray, "MsResamp"]:
-        """Resample a block; host-orchestrated composite (msresamp.rs:126-164).
+    def out_capacity(self, num_input: int) -> int:
+        """Static output-buffer capacity for :meth:`execute_block`."""
+        if self.interp:
+            cap1 = self.arbitrary.out_capacity(num_input)
+            return cap1 << self.num_halfband_stages
+        m = 1 << self.num_halfband_stages
+        cap1 = (num_input + m) >> self.num_halfband_stages
+        return self.arbitrary.out_capacity(cap1)
 
-        Returns a COMPACT array of exactly get_num_output(len(x)) samples.
-        Requires concrete (non-traced) state.
+    def execute_block(self, x) -> tuple[jnp.ndarray, jnp.ndarray, "MsResamp"]:
+        """Fully jittable composite: returns (y, num_output, state) with y a
+        fixed-capacity buffer, zeros beyond num_output (msresamp.rs:126-164).
+
+        The variable-length stage hand-off uses the valid-prefix convention
+        (Resamp.execute_block_n / MsResamp2.execute_block_n): buffers keep
+        static shapes, the exact valid counts thread through as traced
+        values, and stage windows land at the traced valid end — no host
+        sync anywhere.
         """
         x = jnp.asarray(x)
         n = x.shape[-1]
         if self.interp:
-            # arbitrary stage first (low rate), then halfband interp
+            # arbitrary stage first (low rate), then halfband interp chain
             y1, k, arb = self.arbitrary.execute_block(x)
-            k = int(np.asarray(k))
-            y1c = y1[..., :k]
-            y2, hb = self.halfband.execute_block(y1c)
-            return np.asarray(y2), self.replace(arbitrary=arb, halfband=hb)
+            y2, k2, hb = self.halfband.execute_block_n(y1, k)
+            return y2, k2, self.replace(arbitrary=arb, halfband=hb)
 
-        # decimation: gather into groups of 2^k, halfband decim, arbitrary
+        # decimation: compact carry+input into a valid-prefix buffer, group
+        # into multiples of 2^k for the halfband chain, then arbitrary stage
         m = 1 << self.num_halfband_stages
-        cl = int(np.asarray(self.carry_len))
-        xa = jnp.concatenate([self.carry[..., :cl], x], axis=-1)
-        total = xa.shape[-1]
-        n_groups = total // m
-        rem = total - n_groups * m
-        if n_groups > 0:
-            y1, hb = self.halfband.execute_block(xa[..., : n_groups * m])
-            y2, k, arb = self.arbitrary.execute_block(y1)
-            k = int(np.asarray(k))
-            out = np.asarray(y2[..., :k])
-        else:
-            hb, arb = self.halfband, self.arbitrary
-            out = np.zeros(x.shape[:-1] + (0,), dtype=np.asarray(x).dtype)
-        new_carry = jnp.zeros_like(self.carry)
-        if rem > 0:
-            new_carry = new_carry.at[..., :rem].set(xa[..., n_groups * m :])
-        return out, self.replace(
+        cl = self.carry_len
+        capb = -(-(n + m) // m) * m  # static capacity, multiple of 2^k
+        carry_pad = jnp.concatenate(
+            [
+                self.carry.astype(x.dtype),
+                jnp.zeros(x.shape[:-1] + (capb - m,), dtype=x.dtype),
+            ],
+            axis=-1,
+        )
+        # place the new block starting at the carry's valid end (traced cl)
+        xext = jnp.concatenate(
+            [
+                jnp.zeros(x.shape[:-1] + (m,), dtype=x.dtype),
+                x,
+                jnp.zeros(x.shape[:-1] + (capb - n,), dtype=x.dtype),
+            ],
+            axis=-1,
+        )
+        xshift = jax.lax.dynamic_slice_in_dim(xext, m - cl, capb, axis=-1)
+        buf = jnp.where(jnp.arange(capb) >= cl, xshift, carry_pad)
+        total = cl + n
+        rem = total % m
+        n_groups_samples = total - rem
+        y1, k1, hb = self.halfband.execute_block_n(buf, n_groups_samples)
+        y2, k2, arb = self.arbitrary.execute_block_n(y1, k1)
+        # carry = the rem ungrouped samples at the valid end
+        new_carry = jax.lax.dynamic_slice_in_dim(buf, n_groups_samples, m, axis=-1)
+        new_carry = jnp.where(jnp.arange(m) < rem, new_carry, 0)
+        return y2, k2, self.replace(
             halfband=hb,
             arbitrary=arb,
             carry=new_carry,
-            carry_len=jnp.asarray(rem, dtype=jnp.int32),
+            carry_len=rem.astype(jnp.int32),
         )
+
+    def execute(self, x) -> tuple[np.ndarray, "MsResamp"]:
+        """Resample a block; host-compacted convenience wrapper around the
+        jittable :meth:`execute_block` (msresamp.rs:126-164).
+
+        Returns a COMPACT array of exactly get_num_output(len(x)) samples.
+        Requires concrete (non-traced) state.
+        """
+        y, k, new = self.execute_block(x)
+        return np.asarray(y)[..., : int(np.asarray(k))], new
 
     __call__ = execute

@@ -98,4 +98,28 @@ class MsResamp2:
             y = y * jnp.asarray(1.0 / (1 << self.num_stages), dtype=jnp.float32)
         return y, self.replace(stages=tuple(new_stages))
 
+    def execute_block_n(
+        self, x, n_valid
+    ) -> tuple[jnp.ndarray, jnp.ndarray, "MsResamp2"]:
+        """Valid-prefix form (jit-friendly): x [..., cap] with the first
+        ``n_valid`` samples real → (y, n_out, state) where y has capacity
+        cap·2^k (interp) or cap/2^k (decim) with zeros beyond ``n_out``.
+
+        Decimation requires ``n_valid`` divisible by 2^k (callers group
+        inputs, msresamp.rs:144-156)."""
+        x = jnp.asarray(x)
+        n = jnp.asarray(n_valid, dtype=jnp.int32)
+        if self.num_stages == 0:
+            return x, n, self
+        new_stages = list(self.stages)
+        y = x
+        if self.interp:
+            for s in range(self.num_stages):
+                y, n, new_stages[s] = new_stages[s].interp_execute_block_n(y, n)
+        else:
+            for s in range(self.num_stages - 1, -1, -1):
+                y, n, new_stages[s] = new_stages[s].decim_execute_block_n(y, n)
+            y = y * jnp.asarray(1.0 / (1 << self.num_stages), dtype=jnp.float32)
+        return y, n, self.replace(stages=tuple(new_stages))
+
     __call__ = execute_block

@@ -36,10 +36,6 @@ from .firpfb import pfb_decompose
 
 __all__ = ["Resamp"]
 
-_U24 = jnp.uint32(1 << 24)
-_MASK24 = jnp.uint32((1 << 24) - 1)
-
-
 def _u64_emu_phase(phase0: jnp.ndarray, m: jnp.ndarray, step: jnp.ndarray):
     """(hi, lo) uint32 pair = phase0 + m·step, exact 64-bit.
 
@@ -250,6 +246,56 @@ class Resamp:
         return y, num_output, self.replace(phase=new_phase, window=new_window)
 
     __call__ = execute_block
+
+    def execute_block_n(
+        self, x, n_valid, out_capacity: int | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray, "Resamp"]:
+        """Valid-prefix variant of :meth:`execute_block` (jit-friendly
+        variable-rate pipelines): only the first ``n_valid`` samples of the
+        fixed-capacity buffer ``x`` are consumed. The u32 phase advances by
+        exactly the emissions a sequential run over those samples would make
+        (resamp.rs:141-154), and the PFB window lands at the traced valid
+        end via a dynamic slice."""
+        x = jnp.asarray(x)
+        cap = x.shape[-1]
+        n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
+        if out_capacity is None:
+            out_capacity = self.out_capacity(cap)
+
+        L = self.sub_len
+        x = jnp.where(jnp.arange(cap) < n_valid, x, 0)
+        xa = jnp.concatenate([self.window[..., 1:].astype(x.dtype), x], axis=-1)
+
+        m_idx = jnp.arange(out_capacity + 1, dtype=jnp.int32)
+        hi, lo = _u64_emu_phase(self.phase, m_idx, self.step)
+        hi, lo_full = hi[:out_capacity], lo
+        lo = lo_full[:out_capacity]
+        n_m = ((hi << 8) | (lo >> 24)).astype(jnp.int32)
+        branch = ((lo >> (24 - self.bits)) & jnp.uint32(self.npfb - 1)).astype(
+            jnp.int32
+        )
+        valid = n_m < n_valid
+        num_output = jnp.sum(valid.astype(jnp.int32), axis=-1)
+
+        starts = jnp.clip(n_m, 0, cap - 1)
+        frame_idx = starts[:, None] + jnp.arange(L)[None, :]
+        frames = xa[..., frame_idx]
+        hb = jnp.take(self.branches, branch, axis=0)
+        y = jnp.einsum(
+            "...cl,cl->...c",
+            frames,
+            hb[:, ::-1],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y = jnp.where(valid, y, 0)
+
+        nv_u = n_valid.astype(jnp.uint32)
+        new_phase = lo_full[num_output] - ((nv_u & jnp.uint32(0xFF)) << 24)
+        sliced = jax.lax.dynamic_slice_in_dim(
+            xa, jnp.maximum(n_valid - 1, 0), L, axis=-1
+        )
+        new_window = jnp.where(n_valid > 0, sliced, self.window)
+        return y, num_output, self.replace(phase=new_phase, window=new_window)
 
     def execute_block_mix_down(
         self, x, osc, out_capacity: int | None = None

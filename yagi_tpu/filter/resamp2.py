@@ -11,6 +11,7 @@ splits + one convolution; state = the two 2m-sample branch windows.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,6 +122,61 @@ class Resamp2:
         y = jnp.stack([y0, y1], axis=-1).reshape(x.shape[:-1] + (2 * x.shape[-1],))
         y = y * self.scale
         return y, self.replace(w0=w0, w1=w1)
+
+    # -------------------------------------------------- valid-prefix variants
+    # Fixed-capacity buffers whose first n_valid samples are real, the jit-
+    # friendly convention for variable-rate pipelines (SURVEY.md §7 "hard
+    # parts" #2): outputs are computed over the whole buffer (invalid tail is
+    # zeros, and the ops are causal, so valid outputs are exact), masked
+    # beyond the valid count, and the branch windows are extracted at the
+    # traced valid end with dynamic slices.
+
+    def _windows_at(self, xs0, xs1, n0, n1):
+        xa0 = jnp.concatenate([self.w0.astype(xs0.dtype), xs0], axis=-1)
+        xa1 = jnp.concatenate([self.w1.astype(xs1.dtype), xs1], axis=-1)
+        w0 = jax.lax.dynamic_slice_in_dim(xa0, n0, 2 * self.m, axis=-1)
+        w1 = jax.lax.dynamic_slice_in_dim(xa1, n1, 2 * self.m, axis=-1)
+        return w0, w1
+
+    def interp_execute_block_n(
+        self, x, n_valid
+    ) -> tuple[jnp.ndarray, jnp.ndarray, "Resamp2"]:
+        """Valid-prefix interp: x [..., cap] with n_valid real samples →
+        (y [..., 2·cap] zero beyond 2·n_valid, 2·n_valid, state)."""
+        x = jnp.asarray(x)
+        n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
+        cap = x.shape[-1]
+        mask = jnp.arange(cap) < n_valid
+        x = jnp.where(mask, x, 0)
+        y0, _ = self._delay_branch(self.w0, x)
+        y1, _ = self._filter_branch(self.w1, x)
+        y = jnp.stack([y0, y1], axis=-1).reshape(x.shape[:-1] + (2 * cap,))
+        y = y * self.scale
+        y = jnp.where(jnp.arange(2 * cap) < 2 * n_valid, y, 0)
+        w0, w1 = self._windows_at(x, x, n_valid, n_valid)
+        return y, 2 * n_valid, self.replace(w0=w0, w1=w1)
+
+    def decim_execute_block_n(
+        self, x, n_valid
+    ) -> tuple[jnp.ndarray, jnp.ndarray, "Resamp2"]:
+        """Valid-prefix decim: x [..., cap] with n_valid real samples
+        (n_valid even) → (y [..., cap/2] zero beyond n_valid/2, n_valid/2,
+        state)."""
+        x = jnp.asarray(x)
+        n_valid = jnp.asarray(n_valid, dtype=jnp.int32)
+        cap = x.shape[-1]
+        if cap % 2:
+            raise ConfigError("decimator buffer capacity must be even")
+        x = jnp.where(jnp.arange(cap) < n_valid, x, 0)
+        xe = x[..., 0::2]
+        xo = x[..., 1::2]
+        nh = n_valid // 2
+        y1, _ = self._filter_branch(self.w1, xe)
+        y0, _ = self._delay_branch(self.w0, xo)
+        y = (y0 + y1) * self.scale
+        y = jnp.where(jnp.arange(cap // 2) < nh, y, 0)
+        w0, w1 = self._windows_at(xo, xe, nh, nh)
+        return y, nh, self.replace(w0=w0, w1=w1)
 
     def analyzer_execute_block(self, x) -> tuple[jnp.ndarray, jnp.ndarray, "Resamp2"]:
         """2N inputs → (low[N], high[N]) (resamp2.rs:126-137)."""

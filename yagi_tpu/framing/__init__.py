@@ -11,7 +11,13 @@ from .qpacketmodem import QPacketModem  # noqa: F401
 from .qdetector import QDetector  # noqa: F401
 from .qdsync import QDSync  # noqa: F401
 from .qpilot import QPilotGen, QPilotSync  # noqa: F401
-from .frame64 import FrameGen64, FrameSync64, FRAME64_LEN  # noqa: F401
+from .frame64 import FrameGen64, FrameSync64, frame64_len  # noqa: F401
+
+
+def __getattr__(name):  # FRAME64_LEN stays importable, evaluated lazily
+    if name == "FRAME64_LEN":
+        return frame64_len()
+    raise AttributeError(name)
 from .flexframe import FlexFrameGen, FlexFrameSync  # noqa: F401
 from .gmskframe import GmskFrameGen, GmskFrameSync  # noqa: F401
 from .dsssframe import DsssFrameGen64, DsssFrameSync64  # noqa: F401

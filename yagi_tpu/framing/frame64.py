@@ -62,12 +62,24 @@ def _payload_pm() -> QPacketModem:
                         fec1="conv27p23", mod_scheme="qpsk")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _frame_symbols_len() -> int:
     return 64 + _header_pm().get_frame_len() + _payload_pm().get_frame_len() \
         + 2 * _M
 
 
-FRAME64_LEN = _frame_symbols_len() * _K  # samples per frame
+def frame64_len() -> int:
+    """Samples per frame64 (computed lazily: no jax work at import time)."""
+    return _frame_symbols_len() * _K
+
+
+def __getattr__(name):
+    if name == "FRAME64_LEN":
+        return frame64_len()
+    raise AttributeError(name)
 
 
 def _shape(symbols: np.ndarray) -> np.ndarray:
@@ -84,7 +96,7 @@ class FrameGen64:
     def __init__(self):
         self.header_pm = _header_pm()
         self.payload_pm = _payload_pm()
-        self.frame_len = FRAME64_LEN
+        self.frame_len = frame64_len()
 
     def execute(self, header, payload) -> np.ndarray:
         """header [8] bytes, payload [64] bytes -> samples [FRAME64_LEN]."""

@@ -5,4 +5,9 @@ from .stream import (  # noqa: F401
     make_stream_mesh,
     time_sharded_fir,
 )
-from .channelizer import sharded_channelize, sharded_channelize_fm  # noqa: F401
+from .channelizer import (  # noqa: F401
+    sharded_channelize,
+    sharded_channelize_fm,
+    sharded_channelize_to_channels,
+    sharded_channelize_fm_to_channels,
+)

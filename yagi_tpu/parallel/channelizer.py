@@ -67,6 +67,82 @@ def sharded_channelize(ch: Firpfbch, x: jnp.ndarray, mesh: Mesh):
     return fn(x)
 
 
+def sharded_channelize_to_channels(ch: Firpfbch, x: jnp.ndarray, mesh: Mesh):
+    """Time-sharded input → CHANNEL-sharded output via one ``all_to_all``.
+
+    The stream arrives time-sharded (that is how samples show up from an
+    antenna front-end); per-channel demodulation wants each channel's FULL
+    time history on one device (feedback loops — symsync, PLL, AGC — are
+    sequential in time). This is SURVEY.md §7 phase-5's channel↔time
+    redistribution: each device channelizes its local time block (ppermute
+    halo, overlap-save), then ONE ``jax.lax.all_to_all`` over ICI splits the
+    M channels into n_dev groups and concatenates the time blocks, leaving
+    device d with channels [d·M/n, (d+1)·M/n) over the whole stream.
+
+    Returns [M, T] laid out channel-sharded (out_specs P('time', None) —
+    the mesh axis now indexes channel groups). Bit-identical to the
+    single-device analyzer from output step p onward (zero-state transients
+    excluded, as in :func:`sharded_channelize`).
+    """
+    M = ch.num_channels
+    p = ch.p
+    halo = p * M
+
+    def local(block):
+        tail = block[..., block.shape[-1] - halo :]
+        n_dev = jax.lax.axis_size("time")
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        recv = jax.lax.ppermute(tail, "time", perm)
+        idx = jax.lax.axis_index("time")
+        lead = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+        y = _local_analyze(ch, jnp.concatenate([lead, block], axis=-1))
+        # redistribute: [M, t_loc] → [M/n_dev, t_loc·n_dev]
+        return jax.lax.all_to_all(y, "time", split_axis=0, concat_axis=1, tiled=True)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("time"),
+        out_specs=P("time", None),
+    )
+    return fn(x)
+
+
+def sharded_channelize_fm_to_channels(
+    ch: Firpfbch, kf: float, x: jnp.ndarray, mesh: Mesh
+):
+    """Config[4] with channel-parallel demod: channelize (time-sharded) →
+    ``all_to_all`` → FM-discriminate each channel group locally.
+
+    Because each device holds its channels' full time history after the
+    redistribution, the discriminator has no block seams at all — exact
+    except the leading zero-state transient, with NO extra halo.
+    """
+    M = ch.num_channels
+    p = ch.p
+    halo = p * M
+    ref = 1.0 / (2.0 * np.pi * kf)
+
+    def local(block):
+        tail = block[..., block.shape[-1] - halo :]
+        n_dev = jax.lax.axis_size("time")
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        recv = jax.lax.ppermute(tail, "time", perm)
+        idx = jax.lax.axis_index("time")
+        lead = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+        y = _local_analyze(ch, jnp.concatenate([lead, block], axis=-1))
+        yg = jax.lax.all_to_all(y, "time", split_axis=0, concat_axis=1, tiled=True)
+        return jnp.angle(jnp.conj(yg[..., :-1]) * yg[..., 1:]) * jnp.float32(ref)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("time"),
+        out_specs=P("time", None),
+    )
+    return fn(x)
+
+
 def sharded_channelize_fm(ch: Firpfbch, kf: float, x: jnp.ndarray, mesh: Mesh):
     """Config[4] workload: channelize + per-channel FM discriminator.
 

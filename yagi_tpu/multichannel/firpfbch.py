@@ -36,21 +36,42 @@ __all__ = ["Firpfbch", "Firpfbch2"]
 
 def _grouped_branch_conv(xb: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:
     """Per-branch causal FIR: xb [..., M, N+p-1] (left context included),
-    branches [M, p] in conv order → [..., M, N]; one grouped XLA conv."""
+    branches [M, p] in conv order → [..., M, N].
+
+    Written as p shifted fused multiply-adds (the per-branch taps broadcast
+    over time) rather than a depthwise grouped conv: feature_group_count=M
+    convs serialize per group on the TPU backend, while this form is pure
+    vector ALU work that XLA fuses into one pass.
+    """
     M, p = branches.shape
-    batch_shape = xb.shape[:-2]
-    n_in = xb.shape[-1]
-    lhs = xb.reshape((-1, M, n_in)).astype(jnp.complex64)
-    rhs = branches[:, ::-1][:, None, :].astype(jnp.complex64)  # [M, 1, p]
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1,),
-        padding="VALID",
-        feature_group_count=M,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out.reshape(batch_shape + (M, out.shape[-1]))
+    n = xb.shape[-1] - (p - 1)
+    br = jnp.asarray(branches)
+    acc = None
+    for j in range(p):
+        # tap j multiplies the sample j steps back: s[b, i-j] = xb[b, p-1+i-j]
+        seg = xb[..., p - 1 - j : p - 1 - j + n]
+        term = br[:, j, None] * seg
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _idft_matrix(M: int) -> np.ndarray:
+    """Unnormalized inverse-DFT matrix W[b, k] = exp(+2πi·bk/M)/M."""
+    b = np.arange(M)
+    return np.exp(2j * np.pi * np.outer(b, b) / M).astype(np.complex64) / M
+
+
+def _idft(u: jnp.ndarray, axis_m: int) -> jnp.ndarray:
+    """IDFT over axis -2 of [..., M, N]: MXU matmul for small M (the FFT op
+    would transpose a complex array twice and underutilize the MXU at these
+    sizes), jnp.fft.ifft beyond 128 channels."""
+    M = u.shape[-2]
+    if M <= 128:
+        w = jnp.asarray(_idft_matrix(M))
+        return jnp.einsum(
+            "bk,...bn->...kn", w, u, precision=jax.lax.Precision.HIGHEST
+        )
+    return jnp.fft.ifft(u, axis=-2)
 
 
 def _design_prototype(num_channels: int, m: int, as_: float) -> np.ndarray:
@@ -130,15 +151,26 @@ class Firpfbch:
             raise ConfigError(f"input length must be a multiple of M={M}")
         n = total // M
 
-        xa = jnp.concatenate([self.raw_tail, x], axis=-1)  # [..., M-1+NM]
-        i = jnp.arange(n)
-        b = jnp.arange(M)
-        idx = (M - 1) + i[None, :] * M - b[:, None]  # [M, n]
-        s = xa[..., idx]  # [..., M, n] branch streams s_b[i] = x[iM-b]
+        # branch streams s_b[i] = x[iM - b] WITHOUT a gather (gathers fall
+        # off the TPU vector units): prepend one history block, reshape to
+        # M-sample blocks, lane-reverse, shift one block. xfull block i,
+        # lane c = x[(i-1)M + c], so reversed lanes give
+        # xrev[i, j] = x[iM - 1 - j] ⇒ s_b[i] = xrev[i, b-1] (b ≥ 1) and
+        # s_0[i] = x[iM] = block i+1, lane 0.
+        lead = x.shape[:-1] + (1,)
+        xfull = jnp.concatenate(
+            [jnp.zeros(lead, x.dtype), self.raw_tail, x], axis=-1
+        )
+        xf = xfull.reshape(x.shape[:-1] + (n + 1, M))
+        xrev = xf[..., ::-1]
+        s0 = xf[..., 1:, 0:1]  # [..., n, 1]
+        s_rest = xrev[..., :n, : M - 1]  # [..., n, M-1]
+        s = jnp.swapaxes(jnp.concatenate([s0, s_rest], axis=-1), -1, -2)
+        xa = jnp.concatenate([self.raw_tail, x], axis=-1)  # (state tail below)
 
         xb = jnp.concatenate([self.window, s], axis=-1)
         u = _grouped_branch_conv(xb, self.branches)  # [..., M, n]
-        y = jnp.fft.ifft(u, axis=-2) * (M * self.scale)
+        y = _idft(u, -2) * (M * self.scale)
 
         new = self.replace(
             window=xb[..., xb.shape[-1] - (self.p - 1) :] if self.p > 1 else self.window,
@@ -152,7 +184,7 @@ class Firpfbch:
         ych = jnp.asarray(ych, dtype=jnp.complex64)
         M = self.num_channels
         n = ych.shape[-1]
-        w = jnp.fft.ifft(ych, axis=-2) * M  # unnormalized IDFT over k
+        w = _idft(ych, -2) * M  # unnormalized IDFT over k
         xb = jnp.concatenate([self.window, w], axis=-1)
         v = _grouped_branch_conv(xb, self.branches)  # [..., M, n]
         x = jnp.swapaxes(v, -1, -2).reshape(ych.shape[:-2] + (n * M,))

@@ -115,6 +115,94 @@ def bench_channelizer_fm(jax, jnp, M=64, T=1 << 15, n_steps=96, reps=3):
     return float(np.median(rates)), rates
 
 
+def _bench_state_chain(jax, jnp, make_state, step_fn, lead_out, samples_per_step,
+                       n_steps, reps, *step_args):
+    """Generic honest chained-state benchmark; returns (median_msps, rates)."""
+    from yagi_tpu.utils.planar import Planar, planar_jit
+
+    if lead_out is None:
+        def lead_out(o):
+            v = o[0]
+            return v.re if isinstance(v, Planar) else v
+    state = planar_jit(make_state)()
+    pstep = planar_jit(step_fn)
+    rb = jax.jit(
+        lambda v: jnp.abs(jnp.ravel(v)[:1].astype(jnp.float32)).reshape(1, 1)
+    )
+    out = pstep(state, *step_args)
+    v = np.asarray(rb(lead_out(out)))
+    assert np.isfinite(v).all()
+    t_null = _null_latency(jax, jnp, np)
+    rates = []
+    for _ in range(reps):
+        c = state
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            out = pstep(c, *step_args)
+            c = out[-1]
+        v = np.asarray(rb(lead_out(out)))
+        dt = time.perf_counter() - t0 - t_null
+        assert np.isfinite(v).all()
+        rates.append(samples_per_step * n_steps / dt / 1e6)
+    return float(np.median(rates)), rates
+
+
+def bench_symsync(jax, jnp, channels=64, block=4096, n_steps=12, reps=3):
+    """Config[1]: QPSK symbol-timing recovery (per-sample feedback scan,
+    parallel across channels — symsync.rs:230-266)."""
+    from yagi_tpu.filter import Symsync
+    from yagi_tpu.utils.planar import Planar
+
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((channels, block)) + 1j *
+         rng.standard_normal((channels, block))).astype(np.complex64)
+    px = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+                jnp.asarray(np.ascontiguousarray(x.imag)))
+    from yagi_tpu.design import FirFilterShape
+
+    mk = lambda: Symsync.create_rnyquist(
+        FirFilterShape.RRCOS, 2, 7, 0.3, batch_shape=(channels,)
+    ).set_lf_bw(0.02)
+    return _bench_state_chain(
+        jax, jnp, mk, lambda s, v: s.execute(v), None,
+        channels * block, n_steps, reps, px,
+    )
+
+
+def bench_fm_stereo(jax, jnp, channels=16, block=1 << 14, n_steps=12, reps=3):
+    """Config[2]: FM stereo receive chain (chains/fm.py)."""
+    from yagi_tpu.chains import FmStereoRx
+    from yagi_tpu.utils.planar import Planar
+
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((channels, block)) + 1j *
+         rng.standard_normal((channels, block))).astype(np.complex64) * 0.1
+    px = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+                jnp.asarray(np.ascontiguousarray(x.imag)))
+    mk = lambda: FmStereoRx.create(batch_shape=(channels,))
+    return _bench_state_chain(
+        jax, jnp, mk, lambda s, v: s.step(v), None,
+        channels * block, n_steps, reps, px,
+    )
+
+
+def bench_qamrx(jax, jnp, channels=64, block=4096, n_steps=12, reps=3):
+    """Config[3]: 16-QAM receiver with EVM tracking (chains/qam.py)."""
+    from yagi_tpu.chains import QamRx
+    from yagi_tpu.utils.planar import Planar
+
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((channels, block)) + 1j *
+         rng.standard_normal((channels, block))).astype(np.complex64)
+    px = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+                jnp.asarray(np.ascontiguousarray(x.imag)))
+    mk = lambda: QamRx.create(batch_shape=(channels,))
+    return _bench_state_chain(
+        jax, jnp, mk, lambda s, v: s.step(v), None,
+        channels * block, n_steps, reps, px,
+    )
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -138,15 +226,22 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    try:
-        cm, crates = bench_channelizer_fm(jax, jnp)
-        print(
-            f"[secondary] 64-ch channelizer+FM: {cm:.0f} Msps/chip "
-            f"(min/max {min(crates):.0f}/{max(crates):.0f})",
-            file=sys.stderr,
-        )
-    except Exception as e:  # pragma: no cover
-        print(f"[secondary] channelizer bench skipped: {e}", file=sys.stderr)
+    secondaries = [
+        ("64-ch channelizer+FM (config[4])", bench_channelizer_fm),
+        ("symsync QPSK recovery (config[1])", bench_symsync),
+        ("FM stereo chain (config[2])", bench_fm_stereo),
+        ("16-QAM EVM receiver (config[3])", bench_qamrx),
+    ]
+    for name, fn in secondaries:
+        try:
+            cm, crates = fn(jax, jnp)
+            print(
+                f"[secondary] {name}: {cm:.0f} Msps/chip "
+                f"(min/max {min(crates):.0f}/{max(crates):.0f})",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"[secondary] {name} skipped: {e}", file=sys.stderr)
 
     prev = None
     try:

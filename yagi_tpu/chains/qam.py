@@ -33,9 +33,14 @@ def _tree_where(pred, a, b):
     """Per-leaf select with trailing-dim broadcast of a batch-shaped pred."""
 
     def sel(x, y):
-        p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim)) if (
-            hasattr(x, "ndim") and x.ndim > pred.ndim
-        ) else pred
+        nd = getattr(x, "ndim", 0)
+        shape = getattr(x, "shape", ())
+        if nd < pred.ndim or shape[: pred.ndim] != pred.shape:
+            # leaf carries no batch dims (shared constant, e.g. the
+            # equalizer's h0 reference taps): identical in both branches,
+            # so per-batch selection is a no-op
+            return x
+        p = pred.reshape(pred.shape + (1,) * (nd - pred.ndim))
         return jnp.where(p, x, y)
 
     return jax.tree_util.tree_map(sel, a, b)

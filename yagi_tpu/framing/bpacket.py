@@ -146,21 +146,44 @@ class BPacketSync:
 
     # ------------------------------------------------------------ internals
     def _seek(self, bits: np.ndarray, i: int) -> int:
-        """Slide bits through the p/n window one at a time until match."""
+        """Find the p/n sequence in the bit stream (≤ pn_errors_max errors).
+
+        Vectorized sliding correlation on ±1 bits (one np.convolve instead
+        of an O(64·n) per-bit loop): errors[t] = (L − Σ s[t+j]·pn±[j]) / 2.
+        Behaviorally identical to shifting one bit at a time through the
+        window — the first full window with few enough errors wins.
+        """
         L = self._pn.size
-        while i < bits.size:
-            self._win[:-1] = self._win[1:]
-            self._win[-1] = bits[i]
-            i += 1
-            self._nwin = min(self._nwin + 1, L)
-            if self._nwin == L:
-                errors = int(np.sum(self._win != self._pn))
-                if errors <= self.pn_errors_max:
-                    self._state = "header"
-                    self._acc = []
-                    self._need_bits = 8 * self._hdr_pk.get_enc_msg_length()
-                    return i
-        return i
+        avail = bits.size - i
+        if avail <= 0:
+            return bits.size
+        prev = self._win[L - self._nwin :] if self._nwin else np.empty(0, np.int64)
+        stream = np.concatenate([prev, bits[i:].astype(np.int64)])
+
+        def _absorb_tail(end: int) -> None:
+            tail = stream[max(0, end - L) : end]
+            self._win[:] = 0
+            self._win[L - tail.size :] = tail
+
+        if stream.size >= L:
+            s = 2 * stream - 1
+            k = (2 * self._pn - 1)[::-1]
+            corr = np.convolve(s, k, mode="valid")
+            errors = (L - corr) // 2
+            hits = np.nonzero(errors <= self.pn_errors_max)[0]
+            if hits.size:
+                t = int(hits[0])
+                end = t + L  # stream index one past the matched window
+                _absorb_tail(end)
+                self._nwin = L
+                self._state = "header"
+                self._acc = []
+                self._need_bits = 8 * self._hdr_pk.get_enc_msg_length()
+                return i + (end - prev.size)
+        # no match: absorb everything into the carried window
+        _absorb_tail(stream.size)
+        self._nwin = min(L, self._nwin + avail)
+        return bits.size
 
     def _finish_section(self) -> None:
         section = np.array(self._acc, np.uint8)

@@ -64,14 +64,21 @@ class Detector:
             # normalized correlation per lag (local received energy)
             e_loc = np.convolve(np.abs(x) ** 2, np.ones(q.L), mode="valid")
             norm = np.sqrt(q._e_s * np.maximum(e_loc, 1e-20))
+            # detect on the NORMALIZED surface — the same quantity the
+            # threshold tests — so a weak burst in a low-energy region is
+            # not shadowed by a strong sub-threshold interferer
+            surf = mag_v / norm[None, :]
             for _ in range(self.max_det):
-                h, lag = np.unravel_index(np.argmax(mag_v), mag_v.shape)
-                peak = mag_v[h, lag]
-                rxy = peak / norm[lag]
+                h, lag = np.unravel_index(np.argmax(surf), surf.shape)
+                rxy = surf[h, lag]
                 if rxy < self.threshold:
                     break
+                peak = mag_v[h, lag]
                 ym1 = mag[h, lag - 1] if lag > 0 else peak
-                yp1 = mag[h, lag + 1] if lag + 1 < n_lags else peak
+                # mag[h, lag+1] exists up to nfft (> n_lags): use it rather
+                # than clamping at the lag range, which biases tau by +0.5
+                # for detections ending exactly at a block boundary
+                yp1 = mag[h, lag + 1] if lag + 1 < mag.shape[1] else peak
                 dtau = float(_quad_peak(ym1, peak, yp1))
                 if len(q.dphis) > 1:
                     hm1 = mag[h - 1, lag] if h > 0 else peak
@@ -91,6 +98,7 @@ class Detector:
                 lo = max(0, lag - q.L // 2)
                 hi = min(n_lags, lag + q.L // 2 + 1)
                 mag_v[:, lo:hi] = 0.0
+                surf[:, lo:hi] = 0.0
         # carry the last L-1 samples so a straddling template is found
         keep = min(self.L - 1, x.size)
         self._offset += x.size - keep

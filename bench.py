@@ -232,15 +232,24 @@ def main() -> int:
         ("FM stereo chain (config[2])", bench_fm_stereo),
         ("16-QAM EVM receiver (config[3])", bench_qamrx),
     ]
+    import signal
+
+    def _alarm(signum, frame):  # bound each secondary so the driver's
+        raise TimeoutError("secondary bench timeout")  # budget holds
+
+    signal.signal(signal.SIGALRM, _alarm)
     for name, fn in secondaries:
         try:
+            signal.alarm(420)
             cm, crates = fn(jax, jnp)
+            signal.alarm(0)
             print(
                 f"[secondary] {name}: {cm:.0f} Msps/chip "
                 f"(min/max {min(crates):.0f}/{max(crates):.0f})",
                 file=sys.stderr,
             )
         except Exception as e:  # pragma: no cover
+            signal.alarm(0)
             print(f"[secondary] {name} skipped: {e}", file=sys.stderr)
 
     prev = None

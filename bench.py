@@ -75,40 +75,43 @@ def bench_fused_chain(jax, jnp, channels=16, block=1 << 17, n_steps=512, reps=5)
     return float(np.median(rates)), rates
 
 
-def bench_channelizer_fm(jax, jnp, M=64, T=1 << 15, n_steps=96, reps=3):
-    """Config[4]: M-channel polyphase channelizer + FM discriminator/channel."""
-    from yagi_tpu.multichannel import Firpfbch
-    from yagi_tpu.utils.planar import planar_jit, planarize, Planar
+def bench_channelizer_fm(jax, jnp, M=64, T=1 << 15, n_steps=192, reps=3):
+    """Config[4]: M-channel polyphase channelizer + FM discriminator/channel
+    via the fused Pallas kernel (kernels/channelizer.py); the FM
+    discriminator runs on the step-major channel matrix."""
+    from yagi_tpu.multichannel import FusedChannelizer
 
     rng = np.random.default_rng(1)
     x = (rng.standard_normal(T * M) + 1j * rng.standard_normal(T * M)).astype(
         np.complex64
     )
-    px = planarize(x)
-    px = Planar(jnp.asarray(px.re), jnp.asarray(px.im))
-    chz = planar_jit(lambda: Firpfbch.create_kaiser(M, 4, 60.0))()
+    pxr = jnp.asarray(np.ascontiguousarray(x.real))
+    pxi = jnp.asarray(np.ascontiguousarray(x.imag))
+    chz = jax.jit(lambda: FusedChannelizer.create_kaiser(M, 4, 60.0, r2=128))()
     kf = 0.1
+    ref = 1.0 / (2.0 * np.pi * kf)
 
-    def chan_fm(chz, xc, seed):
-        # perturb input per step so the dependency chain is honest
-        y, _ = chz.analyzer_execute(xc + seed * 1e-30)
-        fm = jnp.angle(jnp.conj(y[..., :-1]) * y[..., 1:]) * (1.0 / (2.0 * np.pi * kf))
-        return fm, fm[0, :1]
+    def step(chz, xr, xi):
+        yr, yi, chz = chz.analyzer_execute_planar(xr, xi)
+        # FM discriminator per channel on the step-major [T, M] matrix
+        re = yr[:-1] * yr[1:] + yi[:-1] * yi[1:]
+        im = yr[:-1] * yi[1:] - yi[:-1] * yr[1:]
+        fm = jnp.arctan2(im, re) * jnp.float32(ref)
+        return fm, chz
 
-    fm_fn = planar_jit(chan_fm)
-    rb = jax.jit(lambda v: jnp.abs(v[:1]))
-    fm, seed = fm_fn(chz, px, jnp.float32(0.0))
-    v = np.asarray(rb(seed))
+    fm_fn = jax.jit(step)
+    rb = jax.jit(lambda v: jnp.abs(v[:1, :1]))
+    fm, c = fm_fn(chz, pxr, pxi)
+    v = np.asarray(rb(fm))
     assert np.isfinite(v).all()
     t_null = _null_latency(jax, jnp, np)
     rates = []
     for _ in range(reps):
-        s = jnp.float32(0.0)
+        c = chz
         t0 = time.perf_counter()
         for _ in range(n_steps):
-            fm, sv = fm_fn(chz, px, s)
-            s = sv[0]
-        v = np.asarray(rb(sv))
+            fm, c = fm_fn(c, pxr, pxi)
+        v = np.asarray(rb(fm))
         dt = time.perf_counter() - t0 - t_null
         assert np.isfinite(v).all()
         rates.append(T * M * n_steps / dt / 1e6)

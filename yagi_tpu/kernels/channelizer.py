@@ -45,16 +45,23 @@ def channelizer_tables(branches: np.ndarray, scale: float):
     """Host tables: per-tap lane vectors + block-diagonal IDFT twiddles.
 
     branches: [M, p] conv order (branch b tap j multiplies s_b[i−j], cf.
-    multichannel/firpfbch.py). Returns (taps [p, 128] f32,
-    hr/hi [128, 128] f32) with H = blockdiag(W, W),
-    W[b, k] = e^{+2πi·bk/M}·scale.
+    multichannel/firpfbch.py).
+
+    Lane convention: in-kernel lane c carries branch b(c) = (M−c) mod M, so
+    the commutator s_{b(c)}[m] = X[m−1, c] (c ≥ 1) needs NO lane reversal —
+    Mosaic has no `rev` lowering — only a one-step lane/row shift plus a
+    lane-0 patch (c = 0 carries b = 0, s_0[m] = X[m, 0]). The branch
+    permutation is folded into these tables instead: taps[j, c] =
+    branches[b(c), j] and H = blockdiag(W', W') with
+    W'[c, k] = e^{+2πi·b(c)·k/M}·scale.
     """
     M, p = branches.shape
     if M != _M:
         raise ValueError(f"kernel is specialized to M={_M}")
-    taps = np.tile(branches.astype(np.float32).T, (1, _S))  # [p, 128]
+    perm = (-np.arange(M)) % M  # b(c)
+    taps = np.tile(branches[perm].astype(np.float32).T, (1, _S))  # [p, 128]
     b = np.arange(M)
-    w = np.exp(2j * np.pi * np.outer(b, b) / M) * scale
+    w = np.exp(2j * np.pi * np.outer(perm, b) / M) * scale
     h = np.zeros((_LANE, _LANE), np.complex128)
     for s in range(_S):
         h[s * M : (s + 1) * M, s * M : (s + 1) * M] = w
@@ -70,18 +77,19 @@ def _chan_kernel(p: int, r2: int, halo: int, precision,
     exi = jnp.concatenate([gi_ref[0], xi_ref[:]], axis=0)
 
     def build_streams(ext):
-        rev = ext[:, ::-1]
-        # A = lanes shifted right by one: A[:, l] = rev[:, l-1]
-        a = jnp.concatenate([jnp.zeros_like(rev[:, :1]), rev[:, :-1]], axis=1)
-        # first half of row r covers step 2r: [X[2r,0] | rev X[2r-1][0:63]]
-        # (rev X[2r-1] sits in A[r-1, 1:64]); second half covers step 2r+1.
-        a_prev = jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]], axis=0)
-        fh = jnp.concatenate([ext[:, 0:1], a_prev[:, 1:_M]], axis=1)
-        sh = jnp.concatenate([ext[:, _M : _M + 1], a[:, _M + 1 :]], axis=1)
-        s2 = jnp.concatenate([fh, sh], axis=1)  # [rows, 128] steps (2r, 2r+1)
-        # one-step-delayed view: row r covers steps (2r-1, 2r)
-        sh_prev = jnp.concatenate([jnp.zeros_like(sh[:1]), sh[:-1]], axis=0)
-        s2d = jnp.concatenate([sh_prev, fh], axis=1)
+        # lane c carries branch b(c) = (M−c)%M (tables pre-permuted), so the
+        # stream row for steps (2r, 2r+1) is just the one-step-earlier pair
+        # of M-blocks with lanes 0 and 64 patched from the current blocks:
+        #   s'[c, m] = X[m−1, c] (c ≥ 1),  s'[0, m] = X[m, 0].
+        rows = ext.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+        patch = (lane & (_M - 1)) == 0  # lanes 0 and 64
+        ext_prev = jnp.concatenate([jnp.zeros_like(ext[:1]), ext[:-1]], axis=0)
+        # steps shifted by 1: row r = [X[2r−1] | X[2r]]
+        shift1 = jnp.concatenate([ext_prev[:, _M:], ext[:, :_M]], axis=1)
+        # steps shifted by 2: row r = [X[2r−2] | X[2r−1]] = ext_prev
+        s2 = jnp.where(patch, ext, shift1)  # steps (2r, 2r+1)
+        s2d = jnp.where(patch, shift1, ext_prev)  # steps (2r−1, 2r)
         return s2, s2d
 
     s2r, s2dr = build_streams(exr)

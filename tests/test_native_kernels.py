@@ -86,3 +86,53 @@ class TestPallasKernels:
         np.testing.assert_allclose(
             np.asarray(y_pl), np.asarray(y_ref), rtol=1e-6, atol=1e-6
         )
+
+
+class TestIqStreamLoader:
+    """Native double-buffered IQ reader (native/iq_loader.cpp)."""
+
+    @pytest.mark.parametrize("fmt", ["cf32", "ci16", "cu8"])
+    def test_roundtrip_formats(self, fmt, tmp_path):
+        from yagi_tpu.native import IqStreamLoader, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(3)
+        n = 7000  # not a multiple of the block size (exercises EOF tail)
+        x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.5
+        path = tmp_path / f"capture.{fmt}"
+        inter = np.empty(2 * n, np.float32)
+        inter[0::2] = x.real
+        inter[1::2] = x.imag
+        if fmt == "cf32":
+            path.write_bytes(inter.astype(np.float32).tobytes())
+            expect_re, expect_im = inter[0::2], inter[1::2]
+        elif fmt == "ci16":
+            q = np.clip(np.round(inter * 32768), -32768, 32767).astype(np.int16)
+            path.write_bytes(q.tobytes())
+            expect_re = q[0::2].astype(np.float32) / 32768
+            expect_im = q[1::2].astype(np.float32) / 32768
+        else:
+            q = np.clip(np.round(inter * 128) + 128, 0, 255).astype(np.uint8)
+            path.write_bytes(q.tobytes())
+            expect_re = (q[0::2].astype(np.float32) - 128) / 128
+            expect_im = (q[1::2].astype(np.float32) - 128) / 128
+
+        got_re, got_im = [], []
+        with IqStreamLoader(path, fmt, block_samples=2048) as src:
+            for re, im in src:
+                got_re.append(re)
+                got_im.append(im)
+            assert src.total_read() == n
+        np.testing.assert_allclose(np.concatenate(got_re), expect_re, atol=0)
+        np.testing.assert_allclose(np.concatenate(got_im), expect_im, atol=0)
+
+    def test_open_errors(self, tmp_path):
+        from yagi_tpu.native import IqStreamLoader, native_available
+
+        if not native_available():
+            pytest.skip("native toolchain unavailable")
+        with pytest.raises(OSError):
+            IqStreamLoader(tmp_path / "missing.iq")
+        with pytest.raises(ValueError):
+            IqStreamLoader(__file__, fmt="bogus")

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Per-stage profiling harness for the flagship chains (SURVEY.md §5 aux).
+
+The standard jax.profiler is not usable through the production tunnel
+(dispatch is fire-and-forget, traces never materialize), so this measures
+each stage the only way that is honest here: isolated dependency-chained
+runs with forced readback and null-latency subtraction, per
+kernels/ROOFLINE.md "Measurement on axon".
+
+Writes STAGE_PROFILE.json: per-stage Msps for the config[0] chain stages
+(fir / resamp / mix / fused-all) and the channelizer stages (analyzer /
++FM), on whatever backend is attached (CPU numbers are still structurally
+informative; the committed artifact is from the real chip).
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from yagi_tpu.chains import FusedRxChain, RxChain
+    from yagi_tpu.multichannel import FusedChannelizer
+    from yagi_tpu.utils.planar import Planar, planar_jit
+
+    plat = jax.devices()[0].platform
+    C, T = 16, 1 << 17
+    rng = np.random.default_rng(0)
+    xh = (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(
+        np.complex64
+    )
+    px = Planar(
+        jnp.asarray(np.ascontiguousarray(xh.real)),
+        jnp.asarray(np.ascontiguousarray(xh.imag)),
+    )
+    rb = jax.jit(lambda v: jnp.abs(jnp.ravel(v)[:1].astype(jnp.float32)))
+
+    tiny = jnp.ones((8, 8), jnp.float32)
+    tf = jax.jit(lambda v: v + 1)
+    _ = np.asarray(rb(tf(tiny)))
+    t0 = time.perf_counter()
+    _ = np.asarray(rb(tf(tiny)))
+    t_null = time.perf_counter() - t0
+
+    def measure(tag, make_state, step, n=64, samples=C * T):
+        state = make_state()
+        out = step(state, px)
+        v = np.asarray(rb(out[0].re if isinstance(out[0], Planar) else out[0]))
+        assert np.isfinite(v).all(), tag
+        c = state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = step(c, px)
+            c = out[-1]
+        v = np.asarray(rb(out[0].re if isinstance(out[0], Planar) else out[0]))
+        dt = time.perf_counter() - t0 - t_null
+        msps = samples * n / dt / 1e6
+        print(f"{tag:28s}: {msps:10.1f} Msps", flush=True)
+        return round(msps, 1)
+
+    results = {"platform": plat, "channels": C, "block": T}
+
+    # --- config[0] chain stages (XLA formulations) -----------------------
+    rc = planar_jit(lambda: RxChain.create(batch_shape=(C,)))()
+    results["fir_only"] = measure(
+        "fir64 (XLA conv)",
+        lambda: rc.fir,
+        planar_jit(lambda f, v: f.execute_block(v)),
+        n=32,
+    )
+    results["resamp_only"] = measure(
+        "resamp2x (XLA gather)",
+        lambda: rc.resamp,
+        planar_jit(lambda r, v: r.execute_block(v)),
+        n=8,
+    )
+    osc0 = rc.osc
+    results["mix_only"] = measure(
+        "NCO mix (XLA elementwise)",
+        lambda: osc0,
+        planar_jit(lambda o, v: o.mix_block_down(v)),
+        n=32,
+    )
+    fused = jax.jit(lambda: FusedRxChain.create(batch_shape=(C,), r=32))()
+    fstep = jax.jit(lambda c, a, b: c.step_planar(a, b))
+    results["fused_chain"] = measure(
+        "fused chain (Pallas)",
+        lambda: fused,
+        lambda c, v: fstep(c, v.re, v.im),
+        n=128,
+    )
+
+    # --- config[4] channelizer -------------------------------------------
+    M, Tc = 64, 1 << 15
+    xc = (rng.standard_normal(Tc * M) + 1j * rng.standard_normal(Tc * M)).astype(
+        np.complex64
+    )
+    pxc = Planar(
+        jnp.asarray(np.ascontiguousarray(xc.real)),
+        jnp.asarray(np.ascontiguousarray(xc.imag)),
+    )
+    fz = jax.jit(lambda: FusedChannelizer.create_kaiser(M, 4, 60.0, r2=128))()
+    czstep = jax.jit(lambda c, a, b: c.analyzer_execute_planar(a, b))
+
+    def chan_step(c, v):
+        yr, yi, c2 = czstep(c, v.re, v.im)
+        return (Planar(yr, yi), c2)
+
+    old_px = px
+    px = pxc
+    results["fused_channelizer"] = measure(
+        "fused channelizer (Pallas)", lambda: fz, chan_step, n=128,
+        samples=Tc * M,
+    )
+    px = old_px
+
+    pathlib.Path("STAGE_PROFILE.json").write_text(json.dumps(results, indent=1))
+    print("wrote STAGE_PROFILE.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

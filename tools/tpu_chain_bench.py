@@ -11,9 +11,12 @@ Writes TPU_PARITY.json at the repo root:
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -83,16 +86,57 @@ def main() -> int:
     xla_msps = rate(rstep, rc, 8)
     print(f"fused: {fused_msps:.0f} Msps | XLA chain: {xla_msps:.1f} Msps")
 
+    # ---- fused channelizer (config[4]) ---------------------------------
+    from yagi_tpu.multichannel import Firpfbch, FusedChannelizer
+
+    M, Tc = 64, 1 << 15
+    rng = np.random.default_rng(1)
+    xc = (rng.standard_normal(Tc * M) + 1j * rng.standard_normal(Tc * M)).astype(
+        np.complex64
+    )
+    cxr = jnp.asarray(np.ascontiguousarray(xc.real))
+    cxi = jnp.asarray(np.ascontiguousarray(xc.imag))
+    fz = jax.jit(lambda: FusedChannelizer.create_kaiser(M, 4, 60.0, r2=128))()
+    cstep = jax.jit(lambda c, a, b: c.analyzer_execute_planar(a, b))
+    cyr, cyi, _ = cstep(fz, cxr, cxi)
+    _ = np.asarray(rb(cyr))
+    refc = planar_jit(lambda: Firpfbch.create_kaiser(M, 4, 60.0))()
+    crstep = planar_jit(lambda c, v: c.analyzer_execute(v))
+    pyc, _ = crstep(refc, Planar(cxr, cxi))
+    ccmp = jax.jit(
+        lambda ar, ai, br, bi: (
+            jnp.max(jnp.abs(ar - br.T) + jnp.abs(ai - bi.T))
+            / (jnp.max(jnp.abs(ar)) + 1e-9)
+        ).reshape(1, 1)
+    )
+    chan_rel = float(np.asarray(ccmp(pyc.re, pyc.im, cyr, cyi))[0, 0])
+    c = fz
+    t0 = time.perf_counter()
+    for _ in range(128):
+        cyr, cyi, c = cstep(c, cxr, cxi)
+    v = np.asarray(rb(cyr))
+    assert np.isfinite(v).all()
+    chan_msps = Tc * M * 128 / (time.perf_counter() - t0 - t_null) / 1e6
+    print(f"fused channelizer: {chan_msps:.0f} Msps, parity {chan_rel:.2e}")
+
     pathlib.Path("TPU_PARITY.json").write_text(
         json.dumps(
             {
-                "parity_rel_err": rel,
-                "fused_msps": round(fused_msps, 1),
-                "xla_msps": round(xla_msps, 2),
-                "channels": C,
-                "block": T,
+                "chain": {
+                    "parity_rel_err": rel,
+                    "fused_msps": round(fused_msps, 1),
+                    "xla_msps": round(xla_msps, 2),
+                    "channels": C,
+                    "block": T,
+                },
+                "channelizer": {
+                    "parity_rel_err": chan_rel,
+                    "fused_msps": round(chan_msps, 1),
+                    "M": M,
+                    "steps_per_block": Tc,
+                },
                 "platform": plat,
-                "note": "compiled Pallas kernel on real TPU; methodology per kernels/ROOFLINE.md",
+                "note": "compiled Pallas kernels on real TPU; methodology per kernels/ROOFLINE.md",
             },
             indent=1,
         )

@@ -122,3 +122,93 @@ class NativeBSequence:
         if rc != 0:
             raise ValueError("invalid ccode length")
         return a, b
+
+
+def _bind_iq_loader(lib) -> None:
+    import numpy as _np  # noqa: F401 (ctypes pointers built per call)
+
+    lib.iql_open.restype = ctypes.c_void_p
+    lib.iql_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_long, ctypes.c_int,
+    ]
+    lib.iql_next.restype = ctypes.c_long
+    lib.iql_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.iql_total_read.restype = ctypes.c_long
+    lib.iql_total_read.argtypes = [ctypes.c_void_p]
+    lib.iql_close.argtypes = [ctypes.c_void_p]
+
+
+class IqStreamLoader:
+    """Native double-buffered IQ capture reader (native/iq_loader.cpp).
+
+    Background C++ thread reads interleaved IQ from disk and deinterleaves
+    into planar f32 blocks — the exact boundary format the TPU runtime
+    requires (utils/planar.py) — so Python only blocks when the disk can't
+    keep up with the device. Formats: "cf32", "ci16" (÷32768), "cu8"
+    (offset-128, ÷128).
+
+    >>> with IqStreamLoader(path, "ci16", block_samples=1 << 17) as src:
+    ...     for re, im in src:
+    ...         step(chain, re, im)
+    """
+
+    _FORMATS = {"cf32": 0, "ci16": 1, "cu8": 2}
+
+    def __init__(self, path, fmt: str = "cf32", block_samples: int = 1 << 17,
+                 n_buffers: int = 4):
+        import numpy as np
+
+        self._np = np
+        self._lib = load_native()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable (g++ build failed?)")
+        if not hasattr(self._lib, "_iql_bound"):
+            _bind_iq_loader(self._lib)
+            self._lib._iql_bound = True
+        if fmt not in self._FORMATS:
+            raise ValueError(f"unknown IQ format {fmt!r}")
+        self.block_samples = int(block_samples)
+        self._h = self._lib.iql_open(
+            str(path).encode(), self._FORMATS[fmt], self.block_samples,
+            int(n_buffers),
+        )
+        if not self._h:
+            raise OSError(f"cannot open IQ stream {path!r}")
+
+    def next_block(self):
+        """(re, im) float32 arrays of ≤ block_samples; (None, None) at EOF."""
+        np = self._np
+        re = np.empty(self.block_samples, np.float32)
+        im = np.empty(self.block_samples, np.float32)
+        n = self._lib.iql_next(
+            self._h,
+            re.ctypes.data_as(ctypes.c_void_p),
+            im.ctypes.data_as(ctypes.c_void_p),
+        )
+        if n <= 0:
+            return None, None
+        return re[:n], im[:n]
+
+    def total_read(self) -> int:
+        return self._lib.iql_total_read(self._h)
+
+    def __iter__(self):
+        while True:
+            re, im = self.next_block()
+            if re is None:
+                return
+            yield re, im
+
+    def close(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.iql_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()

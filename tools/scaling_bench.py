@@ -61,6 +61,7 @@ def main() -> int:
         )
 
     base_rate = None
+    records = []
     for nd in sizes:
         T = args.steps_per_dev * nd  # weak scaling: fixed steps per device
         x = jnp.asarray(
@@ -87,6 +88,8 @@ def main() -> int:
             f"throughput={rate:8.1f} Msps  speedup={rate / base_rate:5.2f}x  "
             f"weak-efficiency={eff * 100:5.1f}%"
         )
+        records.append({"devices": nd, "msps": round(rate, 1),
+                        "weak_efficiency": round(eff, 3)})
 
     # correctness cross-check at the largest mesh (config[4] criterion):
     # sharded FM output must match the single-device analyzer + discriminator
@@ -112,6 +115,16 @@ def main() -> int:
         )
     )
     print(f"sharded({nd}) matches single-device reference: {ok}")
+    import json
+    import pathlib
+
+    pathlib.Path("SCALING.json").write_text(json.dumps({
+        "workload": "64-ch firpfbch + per-channel FM (config[4])",
+        "mesh": "virtual CPU devices (host-core contention, not ICI; see note)",
+        "weak_scaling": records,
+        "bit_identity_at_max_mesh": ok,
+    }, indent=1))
+    print("wrote SCALING.json")
     return 0 if ok else 1
 
 

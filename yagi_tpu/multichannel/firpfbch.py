@@ -74,6 +74,38 @@ def _idft(u: jnp.ndarray, axis_m: int) -> jnp.ndarray:
     return jnp.fft.ifft(u, axis=-2)
 
 
+def _sliding_residue_conv(xa: jnp.ndarray, branches, P: int) -> jnp.ndarray:
+    """c_r[t] = Σ_q h[r+qM]·xa[e_t − r − qM] for every step t and residue r,
+    with e_t = (L−2) + (t+1)·P, as ONE strided VALID convolution.
+
+    Replaces the [T, L] frame gather (gathers are scalar-unit-bound on TPU)
+    used by the sliding-transform channelizers (Firpfbch2 / Firpfbchr):
+    residue r's taps become a dense length-L filter F_r[j] = h[j]·[j≡r (M)],
+    all M filters share one alignment (lhs offset P−1), and XLA maps the
+    strided multi-filter conv onto the MXU.
+    """
+    branches = np.asarray(branches)
+    M, p = branches.shape
+    L = p * M
+    jj = np.arange(L)
+    h_tap = branches[jj % M, jj // M]  # h[j]
+    F = np.zeros((M, L), branches.dtype)
+    F[jj % M, jj] = h_tap
+    rhs = jnp.asarray(F[:, ::-1].astype(np.float32)).astype(jnp.complex64)
+
+    batch_shape = xa.shape[:-1]
+    lhs = xa[..., P - 1 :].reshape((-1, 1, xa.shape[-1] - (P - 1)))
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs.reshape(M, 1, L),
+        window_strides=(P,),
+        padding="VALID",
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, M, T]
+    c = jnp.swapaxes(out, -1, -2)  # [B, T, M]
+    return c.reshape(batch_shape + c.shape[1:])
+
+
 def _design_prototype(num_channels: int, m: int, as_: float) -> np.ndarray:
     h_len = 2 * num_channels * m + 1
     h = design.fir_design_kaiser(h_len, 0.5 / num_channels, as_, 0.0)
@@ -256,38 +288,16 @@ class Firpfbch2:
         L = self.p * M
 
         xa = jnp.concatenate([self.hist, x], axis=-1)  # [..., L-1+T·half]
-        # frame for step t: samples x[(t+1)·half-1 - j], j=0..L-1
         t_idx = jnp.arange(T)
-        j = jnp.arange(L)
-        # xa index of the newest sample of step t, x[(t+1)·half - 1]:
-        end = L - 2 + (t_idx + 1) * half
-        idx = end[:, None] - j[None, :]  # [T, L], newest-first
-        frames = xa[..., idx]  # [..., T, L]
-
-        # u_b[t] = Σ_p h[b+pM]·frame[t, b+pM + phase_t] with phase alternation:
-        # the absolute sample index of frame position j is (global) g = e_t - j;
-        # branch of tap j is (j + offset_t) mod M where offset_t aligns tap 0
-        # with g ≡ 0 (mod M). offset_t = e_global_t mod M, e_global_t =
-        # (t+1)·half - 1 + carried parity·half.
         par = self.step_parity
         e_glob = (t_idx + 1) * half - 1 + par * half
-        offset = jnp.mod(e_glob, M)  # [T]
-
-        h_flat = self.branches.reshape(-1, order="C")  # h[b + pM] at [b, p]
-        # build full-length h in tap order: h_tap[j] = h[j]
-        # branches[b, p] = h[b + pM] → h_tap = branches.T.reshape? h[j]: j = b + pM
-        # so h_tap[j] = branches[j % M, j // M]
-        jj = np.arange(L)
-        h_tap = np.asarray(self.branches)[jj % M, jj // M]
-        h_tap = jnp.asarray(h_tap)
 
         # y_k[t] = Σ_j h[j]·x[e_t - j]·e^{-j2πk(e_t - j)/M}   (mix-down by k/M)
         #        = e^{-j2πk e_t/M} Σ_j h[j]·frame[t,j]·e^{+j2πkj/M}
         # inner sum over j groups by residue r = j mod M:
-        #   Σ_r e^{+j2πkr/M} c_r[t],  c_r[t] = Σ_p h[r+pM]·frame[t, r+pM]
-        fr = frames.reshape(frames.shape[:-1] + (self.p, M))  # j = q·M + r
-        hw = h_tap.reshape(self.p, M)
-        c = jnp.einsum("...tqr,qr->...tr", fr, hw)  # [..., T, M]
+        #   Σ_r e^{+j2πkr/M} c_r[t],  c_r[t] = Σ_p h[r+pM]·frame[t, r+pM],
+        # computed gather-free as one strided residue conv
+        c = _sliding_residue_conv(xa, self.branches, half)  # [..., T, M]
         Y = jnp.fft.ifft(c, axis=-1) * M  # Σ_r c_r e^{+j2πkr/M}
         twiddle = jnp.exp(
             -2j * np.pi * jnp.arange(M)[None, :] * e_glob[:, None] / M

@@ -104,19 +104,14 @@ class Firpfbchr:
 
         xa = jnp.concatenate([self.hist, x], axis=-1)  # [..., L-1+T·P]
         t_idx = jnp.arange(T)
-        j = jnp.arange(L)
-        end = L - 2 + (t_idx + 1) * P    # xa index of step-t newest sample
-        idx = end[:, None] - j[None, :]  # [T, L] newest-first frames
-        frames = xa[..., idx]            # [..., T, L]
 
         # y_k[t] = e^{-j2πk e_t/M} Σ_j h[j]·frame[t,j]·e^{+j2πkj/M}
         # grouped by residue r = j mod M → M-point inverse DFT of
-        # c_r[t] = Σ_q h[r+qM]·frame[t, r+qM]
-        jj = np.arange(L)
-        h_tap = np.asarray(self.branches)[jj % M, jj // M]
-        fr = frames.reshape(frames.shape[:-1] + (self.p, M))
-        hw = jnp.asarray(h_tap.reshape(self.p, M))
-        c = jnp.einsum("...tqr,qr->...tr", fr, hw)   # [..., T, M]
+        # c_r[t] = Σ_q h[r+qM]·frame[t, r+qM], computed gather-free as one
+        # strided residue conv (firpfbch._sliding_residue_conv)
+        from .firpfbch import _sliding_residue_conv
+
+        c = _sliding_residue_conv(xa, self.branches, P)  # [..., T, M]
         Y = jnp.fft.ifft(c, axis=-1) * M
         # reduce mod M before the complex exponential: the twiddle is
         # M-periodic, and small arguments keep float32 phase exact

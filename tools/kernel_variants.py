@@ -146,12 +146,10 @@ def main() -> int:
 
     results = {}
     cases = [
-        ("base_r32", 32, "base"),
         ("k256_r32", 32, "k256"),
-        ("nomix_r32", 32, "nomix"),
-        ("nodot_r32", 32, "nodot"),
-        ("base_r16", 16, "base"),
-        ("base_r64", 64, "base"),
+        ("k256_r64", 64, "k256"),
+        ("k256_r128", 128, "k256"),
+        ("base_r32", 32, "base"),
     ]
     for tag, r, mode in cases:
         try:

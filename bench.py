@@ -51,7 +51,7 @@ def bench_fused_chain(jax, jnp, channels=16, block=1 << 17, n_steps=512, reps=5)
     chain = jax.jit(
         lambda: FusedRxChain.create(
             n_taps=64, fc=0.2, as_=60.0, rate=2.0, mix_freq=0.35,
-            batch_shape=(channels,), r=32,
+            batch_shape=(channels,), r=64,
         )
     )()
     step = jax.jit(lambda c, a, b: c.step_planar(a, b))

@@ -44,7 +44,7 @@ def main() -> int:
     )
     rb = jax.jit(lambda v: jnp.abs(v[:1, :1]))
 
-    fc = jax.jit(lambda: FusedRxChain.create(batch_shape=(C,), r=32))()
+    fc = jax.jit(lambda: FusedRxChain.create(batch_shape=(C,), r=64))()
     fstep = jax.jit(lambda c, a, b: c.step_planar(a, b))
     yr, yi, k, _ = fstep(fc, px.re, px.im)
     v = np.asarray(rb(yr))

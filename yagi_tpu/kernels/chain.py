@@ -16,9 +16,10 @@ mixed 2×-rate stream, with all filter math on the MXU:
   specialization of resamp.rs:141-154 (step = 2^24/P).
 * FIR ⊛ branch filters collapse into P combined filters g_δ = h_fir ⊛ h_branchδ
   (length 64+14-1 = 77 for the flagship), computed in f64 on the host.
-* Per 128-lane input row b, the P·128 chain outputs are TWO MXU matmuls:
-  Z[b] = X[b−1] @ G_prev + X[b] @ G_cur with banded [128, 128P] matrices whose
-  columns are ordered so Z is already the interleaved output stream.
+* Per 128-lane input row b, the P·128 chain outputs are ONE MXU matmul:
+  Z[b] = [X[b−1] | X[b]] @ [G_prev; G_cur] — a K=256 dot against the stacked
+  banded [256, 128P] matrix whose columns are ordered so Z is already the
+  interleaved output stream.
 * The NCO phase ramp θ_m = θ0 + m·dθ is synthesized in-register in exact
   wrapping uint32 (osc.rs:86-88) — bit-identical to Osc.mix_block_down's
   "exact" mode (u32→f32 via 16-bit halves rounds identically to astype).
@@ -103,18 +104,19 @@ def _chain_kernel(p: int, r: int, precision, scal_ref, xr_ref, xi_ref, g_ref,
     prev_r = jnp.concatenate([h_r, xr[:, : r - 1]], axis=1)
     prev_i = jnp.concatenate([h_i, xi[:, : r - 1]], axis=1)
 
+    # One K=256 dot per plane over the lane-concatenated [prev|cur] rows
+    # against the stacked [G_prev; G_cur] band matrix — same math as the
+    # two K=128 dots Z = prev@G0 + cur@G1, but one MXU pass instead of two
+    # plus a VPU add (measured ~1.8× on-chip, KERNEL_VARIANTS.json).
     dn = (((2,), (0,)), ((), ()))
-    gp = g_ref[0]  # [128, 128P] previous-row band
-    gc = g_ref[1]  # [128, 128P] current-row band
+    gm = g_ref[:]  # [256, 128P] stacked band matrix
+    fr = jnp.concatenate([prev_r, xr], axis=2)  # [C, R, 256]
+    fi = jnp.concatenate([prev_i, xi], axis=2)
     zr = jax.lax.dot_general(
-        prev_r, gp, dn, preferred_element_type=jnp.float32, precision=precision
-    ) + jax.lax.dot_general(
-        xr, gc, dn, preferred_element_type=jnp.float32, precision=precision
+        fr, gm, dn, preferred_element_type=jnp.float32, precision=precision
     )
     zi = jax.lax.dot_general(
-        prev_i, gp, dn, preferred_element_type=jnp.float32, precision=precision
-    ) + jax.lax.dot_general(
-        xi, gc, dn, preferred_element_type=jnp.float32, precision=precision
+        fi, gm, dn, preferred_element_type=jnp.float32, precision=precision
     )
 
     # exact u32 NCO ramp over this tile's global output indices (osc.rs:86-88).
@@ -190,6 +192,8 @@ def fused_chain_apply(
             jax.lax.bitcast_convert_type(jnp.asarray(dtheta, jnp.uint32), jnp.int32),
         ]
     )
+    # stack [G_prev; G_cur] rows for the kernel's single K=256 dot
+    gm = g.reshape(2 * _LANE, outw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -197,7 +201,7 @@ def fused_chain_apply(
         in_specs=[
             pl.BlockSpec((C, r, _LANE), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, r, _LANE), lambda i, s: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, _LANE, outw), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * _LANE, outw), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, _LANE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, _LANE), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -215,5 +219,5 @@ def fused_chain_apply(
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(scalars, xr3, xi3, g, hr, hi)
+    )(scalars, xr3, xi3, gm, hr, hi)
     return yr.reshape(C, T * p), yi.reshape(C, T * p)

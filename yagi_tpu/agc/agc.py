@@ -236,7 +236,7 @@ class Agc:
             return (g_new, y2p_new, mode_new, timer_new), out
 
         carry0 = (self.g, self.y2_prime, self.squelch_mode, self.squelch_timer)
-        (g, y2p, mode, timer), yt = jax.lax.scan(step, carry0, xt)
+        (g, y2p, mode, timer), yt = jax.lax.scan(step, carry0, xt, unroll=8)
         y = jnp.moveaxis(yt, 0, -1)
         return y, self.replace(
             g=g, y2_prime=y2p, squelch_mode=mode, squelch_timer=timer

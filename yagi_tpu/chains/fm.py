@@ -76,11 +76,13 @@ class FmStereoRx:
         h_delay = np.zeros(n_taps, dtype=np.float32)
         h_delay[(n_taps - 1) // 2] = 1.0
         align = FirFilter.create(h_delay, batch_shape=batch_shape, dtype=jnp.float32)
-        # single-pole de-emphasis: H(z) = α/(1-(1-α)z⁻¹)
+        # single-pole de-emphasis: H(z) = α/(1-(1-α)z⁻¹), run via the
+        # log-depth parallel recurrence (filter/_linrec.py) — the only
+        # sequential-scan stage in this chain, and its TPU bottleneck
         mk_deemph = lambda: IirFilter.create(  # noqa: E731
             [deemph_alpha], [1.0, -(1.0 - deemph_alpha)],
             batch_shape=batch_shape, dtype=jnp.float32,
-        )
+        ).parallelize()
         return cls(
             f_pilot=float(f_pilot),
             demod=demod,

@@ -192,7 +192,7 @@ class QamRx:
         )
         xt = jnp.moveaxis(y1, -1, 0)
         vt = jnp.moveaxis(valid, -1, 0)
-        carry, (st, vst, mt) = jax.lax.scan(body, carry0, (xt, vt))
+        carry, (st, vst, mt) = jax.lax.scan(body, carry0, (xt, vt), unroll=4)
         eq, theta, dtheta, sph, eacc, ecnt = carry
 
         syms = jnp.moveaxis(st, 0, -1)

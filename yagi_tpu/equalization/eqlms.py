@@ -158,7 +158,7 @@ class Eqlms:
             eq = eq.step(di, y)
             return eq, y
 
-        eq, yt = jax.lax.scan(body, self, (xt, dt))
+        eq, yt = jax.lax.scan(body, self, (xt, dt), unroll=4)
         return jnp.moveaxis(yt, 0, -1), eq
 
     def execute_block(self, k: int, x) -> tuple[jnp.ndarray, "Eqlms"]:
@@ -187,7 +187,7 @@ class Eqlms:
             )
             return eq, y
 
-        eq, yt = jax.lax.scan(body, self, xt)
+        eq, yt = jax.lax.scan(body, self, xt, unroll=4)
         return jnp.moveaxis(yt, 0, -1), eq
 
     def decim_execute(self, x, k: int):

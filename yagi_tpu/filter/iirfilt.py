@@ -42,6 +42,10 @@ class IirFilter:
     a: jnp.ndarray = struct.field()
     scale: jnp.ndarray = struct.field()
     v: jnp.ndarray = struct.field()
+    # log-depth block path (associative scan over the linear recurrence,
+    # filter/_linrec.py) — fp32-tolerance-equal to the sequential scan,
+    # orders of magnitude faster on TPU for long blocks
+    parallel: bool = struct.static_field(default=False)
 
     # ------------------------------------------------------------------ ctors
     @classmethod
@@ -215,9 +219,57 @@ class IirFilter:
     def reset(self) -> "IirFilter":
         return self.replace(v=jnp.zeros_like(self.v))
 
+    def parallelize(self) -> "IirFilter":
+        """Switch block processing to the log-depth associative-scan path.
+
+        Same recurrence, different summation order: outputs match the
+        sequential scan to fp32 tolerance (tests/test_iir_parallel.py), and
+        the state carry keeps block-split invariance. Use for long blocks on
+        TPU; keep the default sequential path when bit-compatibility with
+        per-sample execution matters.
+        """
+        return self.replace(parallel=True)
+
+    def _execute_block_parallel(self, x) -> tuple[jnp.ndarray, "IirFilter"]:
+        from ._linrec import allpole_parallel
+
+        if self.sos_form:
+            B, A = self.b, self.a
+            y = x
+            vs = []
+            for s in range(self.nsos):
+                v0, v_fin = allpole_parallel(A[s, 1:], self.v[..., s, :], y)
+                # numerator: y[n] = b0·v0[n] + b1·v0[n−1] + b2·v0[n−2]
+                ext = jnp.concatenate(
+                    [self.v[..., s, ::-1].astype(v0.dtype), v0], axis=-1
+                )
+                T = x.shape[-1]
+                y = (
+                    B[s, 0] * ext[..., 2 : 2 + T]
+                    + B[s, 1] * ext[..., 1 : 1 + T]
+                    + B[s, 2] * ext[..., 0:T]
+                )
+                vs.append(v_fin)
+            v_final = jnp.stack(vs, axis=-2)
+        else:
+            b, a = self.b, self.a
+            m = b.shape[0] - 1
+            v0, v_final = allpole_parallel(a[1:], self.v, x)
+            ext = jnp.concatenate([self.v[..., ::-1].astype(v0.dtype), v0], axis=-1)
+            T = x.shape[-1]
+            y = sum(b[k] * ext[..., m - k : m - k + T] for k in range(m + 1))
+        y = y * self.scale
+        if not jnp.iscomplexobj(self.v):
+            v_final = v_final.real.astype(self.v.dtype) if jnp.iscomplexobj(
+                v_final
+            ) else v_final.astype(self.v.dtype)
+        return y, self.replace(v=v_final)
+
     def execute_block(self, x) -> tuple[jnp.ndarray, "IirFilter"]:
         """Block execute via time scan (iirfilt.rs:396)."""
         x = jnp.asarray(x)
+        if self.parallel:
+            return self._execute_block_parallel(x)
         xt = jnp.moveaxis(x, -1, 0)
 
         if self.sos_form:
@@ -245,7 +297,7 @@ class IirFilter:
                 v_new = jnp.concatenate([v0[..., None], v[..., :-1]], axis=-1)
                 return v_new, y
 
-        v_final, yt = jax.lax.scan(step, self.v, xt)
+        v_final, yt = jax.lax.scan(step, self.v, xt, unroll=8)
         y = jnp.moveaxis(yt, 0, -1) * self.scale
         return y, self.replace(v=v_final)
 

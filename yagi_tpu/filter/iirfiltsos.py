@@ -26,6 +26,9 @@ class IirFilterSos:
     b: jnp.ndarray = struct.field()  # [3] normalized feed-forward
     a: jnp.ndarray = struct.field()  # [3] normalized feed-back (a[0] = 1)
     v: jnp.ndarray = struct.field()  # [..., 2] direct-form-II state (v1, v2)
+    # log-depth block path (associative scan, filter/_linrec.py); fp32-
+    # tolerance-equal to the sequential scan, much faster for long blocks
+    parallel: bool = struct.static_field(default=False)
 
     @classmethod
     def create(cls, b, a, batch_shape: tuple = (), dtype=jnp.float32) -> "IirFilterSos":
@@ -53,9 +56,27 @@ class IirFilterSos:
         y = self.b[0] * v0 + self.b[1] * v1 + self.b[2] * v2
         return y, self.replace(v=jnp.stack([v0, v1], axis=-1))
 
+    def parallelize(self) -> "IirFilterSos":
+        """Switch block processing to the log-depth associative-scan path."""
+        return self.replace(parallel=True)
+
     def execute_block(self, x):
         """Block via scan over the time axis (last axis)."""
         x = jnp.asarray(x)
+        if self.parallel:
+            from ._linrec import allpole_parallel
+
+            v0, v_fin = allpole_parallel(self.a[1:], self.v, x)
+            ext = jnp.concatenate([self.v[..., ::-1].astype(v0.dtype), v0], axis=-1)
+            T = x.shape[-1]
+            y = (
+                self.b[0] * ext[..., 2 : 2 + T]
+                + self.b[1] * ext[..., 1 : 1 + T]
+                + self.b[2] * ext[..., 0:T]
+            )
+            if not jnp.iscomplexobj(self.v) and jnp.iscomplexobj(v_fin):
+                v_fin = v_fin.real
+            return y, self.replace(v=v_fin.astype(self.v.dtype))
 
         def step(v, xt):
             v1, v2 = v[..., 0], v[..., 1]
@@ -64,7 +85,7 @@ class IirFilterSos:
             return jnp.stack([v0, v1], axis=-1), y
 
         xt = jnp.moveaxis(x, -1, 0)  # scan over time
-        v_final, yt = jax.lax.scan(step, self.v, xt)
+        v_final, yt = jax.lax.scan(step, self.v, xt, unroll=8)
         y = jnp.moveaxis(yt, 0, -1)
         return y, self.replace(v=v_final)
 

@@ -266,7 +266,7 @@ class Symsync:
             self.rate, self.delta, self.decim_counter, self.pll_v,
         )
         xt = jnp.moveaxis(x, -1, 0)
-        carry, (yt, vt) = jax.lax.scan(step, carry0, xt)
+        carry, (yt, vt) = jax.lax.scan(step, carry0, xt, unroll=4)
         (win, b, bf, tau, tau_d, rate, delta, dec, pv) = carry
 
         # [..., N, MAX_EMIT] → flatten and compact valid entries to the front

@@ -144,7 +144,8 @@ class TestFirFiltApi:
 
         y1, f1 = run(f, x)
         y2, _ = f.execute_block(x)
-        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+        # eager and jitted XLA may pick different dot kernels → last-ulp diffs
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-6)
 
 
 class TestFirPfb:

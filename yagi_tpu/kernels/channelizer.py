@@ -112,14 +112,16 @@ def _chan_kernel(p: int, r2: int, halo: int, precision,
     ur = branch_fir(s2r, s2dr)  # [R2, 128]
     ui = branch_fir(s2i, s2di)
 
-    hr = hr_ref[:]
-    hi = hi_ref[:]
+    # complex IDFT as TWO stacked K=256 dots instead of four K=128 dots +
+    # two VPU adds (same merged-MXU-pass trick as kernels/chain.py):
+    #   yr = [ur|ui] @ [H_re; −H_im],  yi = [ur|ui] @ [H_im; H_re]
+    u = jnp.concatenate([ur, ui], axis=1)  # [R2, 256]
     dn = (((1,), (0,)), ((), ()))
     dg = lambda a, w: jax.lax.dot_general(
         a, w, dn, preferred_element_type=jnp.float32, precision=precision
     )
-    yr_ref[:] = dg(ur, hr) - dg(ui, hi)
-    yi_ref[:] = dg(ur, hi) + dg(ui, hr)
+    yr_ref[:] = dg(u, hr_ref[:])
+    yi_ref[:] = dg(u, hi_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("p", "r2", "precision", "interpret"))
@@ -161,6 +163,9 @@ def fused_channelizer_apply(
     x2i = xi.reshape(t2, _LANE)
     h2r = hist_r.reshape(halo, _LANE)
     h2i = hist_i.reshape(halo, _LANE)
+    # stacked IDFT matrices for the kernel's two K=256 dots
+    hs1 = jnp.concatenate([hr, -hi], axis=0)  # [256, 128]
+    hs2 = jnp.concatenate([hi, hr], axis=0)
     # per-tile halo rows [grid, halo, 128]: previous tile's trailing rows
     def halo_rows(x2, h2):
         tails = x2.reshape(grid, r2, _LANE)[:-1, r2 - halo :]
@@ -177,8 +182,8 @@ def fused_channelizer_apply(
             pl.BlockSpec((r2, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r2, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((taps.shape[0], _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANE, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANE, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * _LANE, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * _LANE, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, halo, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, halo, _LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -191,6 +196,6 @@ def fused_channelizer_apply(
             jax.ShapeDtypeStruct((t2, _LANE), jnp.float32),
         ),
         interpret=interpret,
-    )(x2r, x2i, taps, hr, hi, gr, gi)
+    )(x2r, x2i, taps, hs1, hs2, gr, gi)
     t = t2 * _S
     return yr.reshape(t, _M), yi.reshape(t, _M)

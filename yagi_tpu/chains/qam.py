@@ -149,9 +149,16 @@ class QamRx:
         ``num_syms`` counts the valid ones.
         """
         x = jnp.asarray(x)
+        n = x.shape[-1]
         y0, agc = self.agc.execute_block(x)
         y1, n1, ss = self.symsync.execute(y0)
-        cap = y1.shape[-1]
+        # the symsync buffer is front-compacted with capacity 4·n, but the
+        # loop's long-run output rate is k_out/k ≤ 1 per input — scanning the
+        # whole capacity wastes 3/4 of the equalizer scan. Keep 25% headroom
+        # for rate transients.
+        cap = min(y1.shape[-1], n + n // 4 + 16)
+        y1 = y1[..., :cap]
+        n1 = jnp.minimum(n1, cap)
         valid = jnp.arange(cap) < n1[..., None] if n1.ndim else jnp.arange(cap) < n1
 
         def body(carry, inp):

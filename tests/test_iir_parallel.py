@@ -97,6 +97,28 @@ class TestParallelIir:
         y2p, _ = f_par.execute_block(jnp.asarray(x))
         assert _rel(y2s, y2p) < 2e-5
 
+    def test_composite_passthrough(self):
+        """IirHilb/IirDecim/IirInterp .parallelize() matches sequential."""
+        from yagi_tpu.filter import (
+            IirDecimationFilter,
+            IirHilbertFilter,
+            IirInterpolationFilter,
+        )
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal(512).astype(np.float32))
+        for mk, run in [
+            (lambda: IirHilbertFilter.create_default(5),
+             lambda f, v: f.decim_execute_block(v)),
+            (lambda: IirDecimationFilter.create_default(4, 5),
+             lambda f, v: f.execute_block(v)),
+            (lambda: IirInterpolationFilter.create_default(4, 5),
+             lambda f, v: f.execute_block(v)),
+        ]:
+            a, _ = run(mk(), x)
+            b, _ = run(mk().parallelize(), x)
+            assert _rel(a, b) < 2e-5
+
     def test_integrator_tf8(self):
         """8th-order Pintelon-Schoukens integrator (SOS form) in parallel."""
         f_seq = IirFilter.create_integrator()

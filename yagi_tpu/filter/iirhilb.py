@@ -67,6 +67,12 @@ class IirHilbertFilter:
             state=jnp.zeros_like(self.state),
         )
 
+    def parallelize(self) -> "IirHilbertFilter":
+        """Run both halfband IIRs via the log-depth parallel recurrence."""
+        return self.replace(
+            filt0=self.filt0.parallelize(), filt1=self.filt1.parallelize()
+        )
+
     def decim_execute_block(self, x) -> tuple[jnp.ndarray, "IirHilbertFilter"]:
         """Real [..., 2N] → complex [..., N] (iirhilb.rs:126-147).
 
@@ -157,6 +163,10 @@ class IirDecimationFilter:
     def reset(self):
         return self.replace(iirfilt=self.iirfilt.reset())
 
+    def parallelize(self):
+        """Log-depth parallel recurrence for the anti-alias IIR."""
+        return self.replace(iirfilt=self.iirfilt.parallelize())
+
     def execute_block(self, x) -> tuple[jnp.ndarray, "IirDecimationFilter"]:
         """Filter all samples, keep the FIRST of each group (iirdecim.rs
         execute computes output at the first push of each group)."""
@@ -207,6 +217,10 @@ class IirInterpolationFilter:
 
     def reset(self):
         return self.replace(iirfilt=self.iirfilt.reset())
+
+    def parallelize(self):
+        """Log-depth parallel recurrence for the image-rejection IIR."""
+        return self.replace(iirfilt=self.iirfilt.parallelize())
 
     def execute_block(self, x) -> tuple[jnp.ndarray, "IirInterpolationFilter"]:
         """Zero-stuff each input then filter (iirinterp.rs execute)."""

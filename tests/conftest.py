@@ -24,3 +24,12 @@ import jax  # noqa: E402
 # a sitecustomize hook, so the env var alone is not sufficient.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "autotest(names, param_map): liquid autotest identity annotation "
+        "(tests/autotest.py; collected by tools/autotest_dump.py)",
+    )
+    config.addinivalue_line("markers", "slow: long-running CPU scan test")

@@ -12,6 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu.agc import Agc, AgcSquelchMode
 from yagi_tpu.errors import ConfigError
 from yagi_tpu.modem import (
@@ -249,15 +250,69 @@ class TestFsk:
 
 
 class TestAgc:
+    @autotest("agc_crcf_dc_gain_control")
     def test_dc_gain_control(self):
-        """Reference autotest: AGC locks a DC level to unity (agc.rs:259)."""
-        gamma = 0.1
+        """Reference autotest: AGC locks a DC level to unity (agc.rs:260-287)."""
+        gamma, tol = 0.1, 1e-3
         agc = Agc.create(bandwidth=0.1)
-        x = np.full(256, gamma, dtype=np.float32)
+        x = np.full(256, gamma + 0j, dtype=np.complex64)
         y, agc = agc.execute_block(x)
-        assert float(np.asarray(y)[-1]) == pytest.approx(1.0, abs=1e-2)
-        assert float(agc.get_gain()) == pytest.approx(1.0 / gamma, rel=0.1)
+        yl = complex(np.asarray(y)[-1])
+        assert yl.real == pytest.approx(1.0, abs=tol)
+        assert yl.imag == pytest.approx(0.0, abs=tol)
+        assert float(agc.get_gain()) == pytest.approx(1.0 / gamma, abs=tol * 10)
+        agc = agc.set_gain(1.0)
+        assert float(agc.get_gain()) == 1.0
 
+    @autotest("agc_crcf_scale")
+    def test_scale(self):
+        """Output scale independent of the AGC loop (agc.rs:290-313)."""
+        scale, tol = 4.0, 1e-3
+        agc = Agc.create(bandwidth=0.1).set_scale(scale)
+        assert float(agc.get_scale()) == scale
+        x = np.full(256, 0.1 + 0j, dtype=np.complex64)
+        y, agc = agc.execute_block(x)
+        yl = complex(np.asarray(y)[-1])
+        assert yl.real == pytest.approx(scale, abs=tol * scale)
+        assert yl.imag == pytest.approx(0.0, abs=tol)
+
+    @autotest("agc_crcf_rssi_sinusoid")
+    def test_rssi_sinusoid(self):
+        """Signal-level estimate on a sinusoid (agc.rs:342-375)."""
+        gamma, bt = 0.3, 0.05
+        agc = Agc.create(bandwidth=bt)
+        t = np.arange(512)
+        x = (gamma * np.exp(1j * 0.1 * t)).astype(np.complex64)
+        _, agc = agc.execute_block(x)
+        assert float(agc.get_signal_level()) == pytest.approx(gamma, abs=1e-3)
+
+    @autotest("agc_crcf_rssi_noise")
+    def test_rssi_noise(self):
+        """RSSI on circular complex noise within 1 dB (agc.rs:377-411)."""
+        gamma_db = -30.0
+        nstd = 10.0 ** (gamma_db / 20.0)
+        rng = np.random.default_rng(1234)
+        x = (nstd * (rng.normal(size=8000) + 1j * rng.normal(size=8000))
+             / np.sqrt(2.0)).astype(np.complex64)
+        agc = Agc.create(bandwidth=2e-3)
+        _, agc = agc.execute_block(x)
+        assert float(agc.get_rssi()) == pytest.approx(gamma_db, abs=1.0)
+
+    @autotest("agc_crcf_copy")
+    def test_copy(self):
+        """State captured mid-stream continues identically (agc.rs:533-561);
+        pytree state makes the reference's Clone semantics explicit."""
+        rng = np.random.default_rng(77)
+        x0 = (rng.normal(size=32) + 1j * rng.normal(size=32)).astype(np.complex64)
+        q0 = Agc.create(bandwidth=0.01234)
+        _, q0 = q0.execute_block(x0)
+        q1 = jax.tree_util.tree_map(lambda v: v, q0)  # deep copy
+        x1 = (rng.normal(size=32) + 1j * rng.normal(size=32)).astype(np.complex64)
+        y0, q0 = q0.execute_block(x1)
+        y1, q1 = q1.execute_block(x1)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    @autotest("agc_crcf_ac_gain_control")
     def test_ac_gain_control_complex(self):
         """Sinusoid amplitude converges to unity (agc.rs tests)."""
         gamma = 0.01
@@ -271,14 +326,68 @@ class TestAgc:
         assert rssi == pytest.approx(20 * np.log10(gamma), abs=1.0)
         assert abs(np.abs(np.asarray(y)[-50:]).mean() - 1.0) < 0.05
 
+    @autotest("agc_crcf_lock")
     def test_lock(self):
+        """Locked AGC does not track; init() re-estimates (agc.rs:469-503)."""
+        gamma, tol = 0.1, 0.01
         agc = Agc.create(bandwidth=0.1)
-        x = np.full(200, 0.1, dtype=np.float32)
-        y, agc = agc.execute_block(x)
-        g_locked = float(agc.get_gain())
+        assert float(agc.get_bandwidth()) == pytest.approx(0.1)
+        agc = agc.set_rssi(0.0)
+        assert float(agc.get_rssi()) == pytest.approx(0.0, abs=tol)
+        assert not bool(agc.locked)
         agc = agc.lock()
-        y2, agc = agc.execute_block(np.full(100, 10.0, dtype=np.float32))
-        assert float(agc.get_gain()) == pytest.approx(g_locked)
+        assert bool(agc.locked)
+        buf = np.full(4, gamma + 0j, dtype=np.complex64)
+        for _ in range(256):
+            _, agc = agc.execute_block(buf)
+        assert float(agc.get_rssi()) == pytest.approx(0.0, abs=tol)
+        agc = agc.unlock()
+        assert not bool(agc.locked)
+        agc = agc.init(buf)
+        assert float(agc.get_rssi()) == pytest.approx(
+            20.0 * np.log10(gamma), abs=tol
+        )
+
+    @autotest("agc_crcf_squelch")
+    def test_squelch_scenario(self):
+        """The full reference squelch scenario (agc.rs:413-467): tapered
+        signal power crossing the threshold, FSM states checked at the
+        reference's exact sample indices."""
+        agc = Agc.create(bandwidth=0.25).set_signal_level(1e-3)
+        assert not bool(np.asarray(agc.squelch_is_enabled()))
+        agc = (agc.squelch_enable()
+               .squelch_set_threshold(-50.0)
+               .squelch_set_timeout(100))
+        assert bool(np.asarray(agc.squelch_is_enabled()))
+        assert float(agc.squelch_get_threshold()) == -50.0
+        assert agc.squelch_get_timeout() == 100
+
+        i = np.arange(2000)
+        gamma = np.full(2000, 1e-3)
+        r = (i >= 500) & (i < 550)
+        gamma[r] = 1e-3 + (1e-2 - 1e-3) * (
+            0.5 - 0.5 * np.cos(np.pi * (i[r] - 500) / 50.0)
+        )
+        gamma[(i >= 550) & (i < 1450)] = 1e-2
+        f = (i >= 1450) & (i < 1500)
+        gamma[f] = 1e-3 + (1e-2 - 1e-3) * (
+            0.5 + 0.5 * np.cos(np.pi * (i[f] - 1450) / 50.0)
+        )
+        x = (gamma * np.exp(2j * np.pi * 0.0193 * i)).astype(np.complex64)
+
+        expect = {0: {AgcSquelchMode.ENABLED},
+                  500: {AgcSquelchMode.ENABLED},
+                  600: {AgcSquelchMode.SIGNAL_HI},
+                  1400: {AgcSquelchMode.SIGNAL_HI},
+                  1500: {AgcSquelchMode.SIGNAL_LO},
+                  1600: {AgcSquelchMode.ENABLED},
+                  1900: {AgcSquelchMode.ENABLED}}
+        start = 0
+        for stop in sorted(k + 1 for k in expect):
+            _, agc = agc.execute_block(x[start:stop])
+            start = stop
+            mode = int(np.asarray(agc.squelch_get_status()))
+            assert mode in {int(m) for m in expect[stop - 1]}, (stop - 1, mode)
 
     def test_squelch_fsm(self):
         """Squelch rises on signal, falls + times out on silence (agc.rs:212)."""

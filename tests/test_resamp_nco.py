@@ -80,6 +80,38 @@ class TestResamp:
         assert len(y1) == len(y2)
         np.testing.assert_allclose(y1, y2, rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("rate", [2.0, 0.5, 1.0, 4.0 / 3.0, 8.0 / 5.0])
+    def test_static_sched_fast_path_matches_u32(self, rate):
+        """The banded static-schedule fast path (P | 2^24, filter/_sched.py)
+        equals the u32 gather path sample-for-sample and keeps num_output and
+        the phase≡0 invariant across blocks."""
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=(2, 480)) + 1j * rng.normal(size=(2, 480))).astype(
+            np.complex64
+        )
+        qf = Resamp.create(rate, m=5, npfb=64, batch_shape=(2,))
+        assert qf.exact_sched is not None
+        qs = qf.replace(exact_sched=None)  # force the u32 path
+        for blk in np.split(x, [120, 360], axis=-1):
+            yf, nf, qf = qf.execute_block(blk)
+            ys, ns, qs = qs.execute_block(blk)
+            assert int(nf) == int(ns)
+            np.testing.assert_allclose(
+                np.asarray(yf), np.asarray(ys), rtol=2e-6, atol=2e-6
+            )
+        assert qf.exact_sched is not None  # aligned blocks keep the invariant
+        assert int(np.asarray(qs.phase)) == 0
+
+    def test_static_sched_cleared_on_misaligned_block(self):
+        q = Resamp.create(0.5, m=4, npfb=32)
+        assert q.exact_sched == (1, 2)
+        _, _, q = q.execute_block(jnp.zeros(7, dtype=jnp.complex64))
+        assert q.exact_sched is None  # 7 % 2 != 0 → u32 path from here on
+        _, _, q2 = Resamp.create(0.5, m=4, npfb=32).execute_block(
+            jnp.zeros(8, dtype=jnp.complex64)
+        )
+        assert q2.exact_sched == (1, 2)
+
     def test_get_num_output(self):
         q = Resamp.create(0.7, m=2, npfb=16)
         # replay must equal actual emission count

@@ -8,8 +8,10 @@ unwrap_phase / sumsq (utility) and gradsearch / qnsearch / gasearch (optim)
 import numpy as np
 import pytest
 
+from tests.autotest import autotest
 from yagi_tpu.errors import ConfigError
-from yagi_tpu.optim import Chromosome, GaSearch, GradSearch, OptimDirection, QnSearch
+from yagi_tpu.optim import (Chromosome, GaSearch, GradSearch,
+                            OptimDirection, QnSearch, Qs1dSearch)
 from yagi_tpu.utils import byteops as bo
 
 
@@ -209,3 +211,70 @@ class TestGaSearch:
             GaSearch(lambda c: 0.0, Chromosome([4]), population_size=2)
         with pytest.raises(ConfigError):
             Chromosome([])
+
+
+class TestQs1dSearch:
+    """The reference's 23 qs1dsearch autotest scenarios
+    (qs1dsearch.rs:226-444): tanh²(v−v_opt) valley/peak, unbounded expanding
+    init from both sides + bounded bracket init, 32 sectioning steps to
+    1e-3 of the optimum."""
+
+    @staticmethod
+    def _umin(v_opt):
+        return lambda v: float(np.tanh(v - v_opt) ** 2)
+
+    @staticmethod
+    def _umax(v_opt):
+        return lambda v: -float(np.tanh(v - v_opt) ** 2)
+
+    def _run(self, direction, v_opt, v_lo, v_hi, bounds):
+        u = self._umin(v_opt) if direction == OptimDirection.MINIMIZE else (
+            self._umax(v_opt))
+        q = Qs1dSearch(u, direction=direction)
+        if bounds:
+            q.init_bounds(v_lo, v_hi)
+        else:
+            q.init(v_lo)
+        for _ in range(32):
+            q.step()
+        assert q.get_opt_v() == pytest.approx(v_opt, abs=1e-3)
+        assert q.get_opt_u() == pytest.approx(u(v_opt), abs=1e-3)
+
+    # reference scenario table (qs1dsearch.rs:275-444): id → (lo, hi, bounded)
+    _SCEN = {
+        "01": (-40.0, 0.0, False),
+        "02": (-20.0, 0.0, False),
+        "03": (-4.0, 0.0, False),
+        "05": (0.0, 0.0, False),
+        "06": (4.0, 0.0, False),
+        "07": (20.0, 0.0, False),
+        "08": (40.0, 0.0, False),
+        "10": (-30.0, 15.0, True),
+        "11": (-20.0, 15.0, True),
+        "12": (-10.0, 15.0, True),
+        "13": (-0.1, 15.0, True),
+    }
+
+    @autotest(param_map={f"min-{k}": f"qs1dsearch_min_{k}" for k in _SCEN})
+    @pytest.mark.parametrize("sid", sorted(_SCEN), ids=[f"min-{k}" for k in sorted(_SCEN)])
+    def test_min(self, sid):
+        lo, hi, bounded = self._SCEN[sid]
+        self._run(OptimDirection.MINIMIZE, 0.0, lo, hi, bounded)
+
+    @autotest(param_map={f"max-{k}": f"qs1dsearch_max_{k}" for k in _SCEN})
+    @pytest.mark.parametrize("sid", sorted(_SCEN), ids=[f"max-{k}" for k in sorted(_SCEN)])
+    def test_max(self, sid):
+        lo, hi, bounded = self._SCEN[sid]
+        self._run(OptimDirection.MAXIMIZE, 0.0, lo, hi, bounded)
+
+    @autotest("qs1dsearch_config")
+    def test_config(self):
+        """Uninitialized step errors; step counter (qs1dsearch.rs:190-214)."""
+        q = Qs1dSearch(self._umin(0.0), direction=OptimDirection.MINIMIZE)
+        with pytest.raises(ConfigError):
+            q.step()
+        q.init(20.0)
+        q.execute()
+        assert q.get_num_steps() == 0
+        q.step(); q.step(); q.step()
+        assert q.get_num_steps() == 3

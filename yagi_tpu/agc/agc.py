@@ -208,6 +208,24 @@ class Agc:
             )
         )
 
+    def squelch_get_threshold(self):
+        return self.squelch_threshold
+
+    def squelch_set_timeout(self, timeout: int) -> "Agc":
+        """Hysteresis timeout in samples (agc.rs squelch_set_timeout)."""
+        if timeout <= 0:
+            raise ConfigError("squelch timeout must be greater than zero")
+        return self.replace(
+            squelch_timeout=int(timeout),
+            squelch_timer=jnp.full_like(self.squelch_timer, int(timeout)),
+        )
+
+    def squelch_get_timeout(self) -> int:
+        return self.squelch_timeout
+
+    def squelch_is_enabled(self):
+        return self.squelch_mode != AgcSquelchMode.DISABLED
+
     def squelch_get_status(self):
         return self.squelch_mode
 

@@ -175,7 +175,10 @@ class QamRx:
             vs = y * jnp.exp(-1j * theta).astype(y.dtype)
             d2 = jnp.abs(vs[..., None] - self.table) ** 2
             s = jnp.argmin(d2, axis=-1).astype(jnp.uint32)
-            shat = jnp.take(self.table, s, axis=0)
+            # one-hot constellation select: per-channel dynamic gathers are
+            # scalar-unit-bound on TPU (kernels/ROOFLINE.md)
+            oh = s[..., None] == jnp.arange(self.table.shape[0], dtype=jnp.uint32)
+            shat = jnp.sum(jnp.where(oh, self.table, 0), axis=-1)
 
             pe = (vs * jnp.conj(shat)).imag / jnp.maximum(
                 jnp.abs(shat) ** 2, 1e-12

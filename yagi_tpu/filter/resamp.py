@@ -36,6 +36,18 @@ from .firpfb import pfb_decompose
 
 __all__ = ["Resamp"]
 
+
+def _pq_of_step(step: int) -> tuple | None:
+    """(P, Q) of the exactly-periodic u32 schedule, or None (see
+    _sched.u32_static_schedule)."""
+    import math
+
+    if step <= 0:
+        return None
+    g = math.gcd(step, 1 << 24)
+    p = (1 << 24) // g
+    return (p, step // g) if p <= 256 else None
+
 def _u64_emu_phase(phase0: jnp.ndarray, m: jnp.ndarray, step: jnp.ndarray):
     """(hi, lo) uint32 pair = phase0 + m·step, exact 64-bit.
 
@@ -72,6 +84,12 @@ class Resamp:
     step: jnp.ndarray = struct.field()  # uint32 = round(2^24 / rate)
     phase: jnp.ndarray = struct.field()  # uint32 accumulator
     window: jnp.ndarray = struct.field()  # [..., Lsub] PFB window
+    # (P, Q) when the u32 schedule is exactly periodic (P | 2^24) AND the
+    # carried phase is provably 0 at every block boundary so far — the
+    # static-schedule banded-MXU fast path applies (filter/_sched.py).
+    # Cleared (None) by any operation that can leave a nonzero phase or a
+    # runtime-traced rate; phase ≡ 0 is then re-established only by reset().
+    exact_sched: tuple | None = struct.static_field(default=None)
 
     # ------------------------------------------------------------------ ctors
     @classmethod
@@ -115,6 +133,7 @@ class Resamp:
             step=jnp.asarray(np.uint32(np.round((1 << 24) / rate))),
             phase=jnp.asarray(0, dtype=jnp.uint32),
             window=jnp.zeros(batch_shape + (branches.shape[1],), dtype=jnp.dtype(dtype)),
+            exact_sched=_pq_of_step(int(np.round((1 << 24) / rate))),
         )
         return obj._check_rate(rate)
 
@@ -161,7 +180,9 @@ class Resamp:
             self._check_rate(float(rate))
         r = jnp.asarray(rate, dtype=jnp.float32)
         step = jnp.round((1 << 24) / r).astype(jnp.uint32)
-        return self.replace(rate=r, step=step)
+        # a rate change at a (possibly) nonzero carried phase invalidates the
+        # phase≡0 invariant of the static-schedule fast path
+        return self.replace(rate=r, step=step, exact_sched=None)
 
     def adjust_rate(self, gamma) -> "Resamp":
         """Multiplicative rate adjustment (resamp.rs:112)."""
@@ -190,6 +211,39 @@ class Resamp:
         r = self.nominal_rate if rate_hint is None else rate_hint
         return int(np.ceil(num_input * r)) + 4
 
+    def _static_fast(self, xa, n: int, out_capacity: int):
+        """Static-schedule banded-MXU resample, or None if inapplicable.
+
+        Valid only while ``exact_sched`` certifies the u32 phase is 0 at
+        every block boundary (see the field's comment). Returns
+        ``(y, n_out)`` with ``y`` zero-padded to ``out_capacity``; identical
+        (src, branch) schedule to the u32 path, evaluated as one banded
+        matmul (filter/_sched.py) instead of a dynamic frame gather.
+        """
+        if self.exact_sched is None:
+            return None
+        p_s, q_s = self.exact_sched
+        n_out = (n // q_s) * p_s
+        if n % q_s != 0 or n_out > out_capacity:
+            return None
+        from ._sched import (sched_banded_matmul, sched_matmul_ok,
+                             u32_static_schedule)
+
+        if not sched_matmul_ok(p_s, q_s, self.sub_len):
+            return None
+        sched = u32_static_schedule(
+            int(np.round((1 << 24) / self.nominal_rate)), self.bits, self.npfb
+        )
+        if sched is None:
+            return None
+        _, _, src_off, br_idx = sched
+        y = sched_banded_matmul(xa, self.branches, src_off, br_idx, q_s,
+                                n // q_s)
+        pad = out_capacity - n_out
+        if pad:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+        return y, n_out
+
     # ------------------------------------------------------------- streaming
     def execute_block(
         self, x, out_capacity: int | None = None
@@ -206,6 +260,18 @@ class Resamp:
 
         L = self.sub_len
         xa = jnp.concatenate([self.window[..., 1:].astype(x.dtype), x], axis=-1)
+
+        # --- static-schedule fast path (phase provably ≡ 0) ----------------
+        fast = self._static_fast(xa, n, out_capacity)
+        if fast is not None:
+            y, n_out = fast
+            return (
+                y,
+                jnp.asarray(n_out, jnp.int32),
+                self.replace(window=xa[..., xa.shape[-1] - L:]),
+            )
+        # (misaligned blocks fall through to the u32 path below, which
+        # clears exact_sched via ``keep``)
 
         # --- emission schedule (pure integer math, exact) -----------------
         # one extra index so lo[num_output] is always in range (phase carry)
@@ -243,7 +309,15 @@ class Resamp:
         # multiply that trips the axon TPU compiler.
         new_phase = lo_full[num_output] - jnp.uint32((n & 0xFF) << 24)
         new_window = xa[..., xa.shape[-1] - L :]
-        return y, num_output, self.replace(phase=new_phase, window=new_window)
+        keep = (
+            self.exact_sched is not None
+            and n % self.exact_sched[1] == 0
+            and (n // self.exact_sched[1]) * self.exact_sched[0] <= out_capacity
+        )
+        return y, num_output, self.replace(
+            phase=new_phase, window=new_window,
+            exact_sched=self.exact_sched if keep else None,
+        )
 
     __call__ = execute_block
 
@@ -295,7 +369,10 @@ class Resamp:
             xa, jnp.maximum(n_valid - 1, 0), L, axis=-1
         )
         new_window = jnp.where(n_valid > 0, sliced, self.window)
-        return y, num_output, self.replace(phase=new_phase, window=new_window)
+        # traced consumption count → phase≡0 invariant no longer provable
+        return y, num_output, self.replace(
+            phase=new_phase, window=new_window, exact_sched=None
+        )
 
     def execute_block_mix_down(
         self, x, osc, out_capacity: int | None = None
@@ -320,6 +397,24 @@ class Resamp:
 
         L = self.sub_len
         xa = jnp.concatenate([self.window[..., 1:].astype(x.dtype), x], axis=-1)
+        fast = self._static_fast(xa, n, out_capacity)
+        if fast is not None:
+            yf, n_out = fast
+            thetas = osc.theta[..., None] + jnp.arange(
+                out_capacity, dtype=jnp.uint32
+            ) * osc.d_theta[..., None]
+            s, c = _sin_cos(thetas, osc.mode)
+            m_valid = jnp.arange(out_capacity) < n_out
+            yf = jnp.where(m_valid, yf * jax_complex(c, -s), 0)
+            new_osc = osc.replace(
+                theta=osc.theta + jnp.uint32(n_out) * osc.d_theta
+            )
+            return (
+                yf,
+                jnp.asarray(n_out, jnp.int32),
+                self.replace(window=xa[..., xa.shape[-1] - L:]),
+                new_osc,
+            )
         m_idx = jnp.arange(out_capacity + 1, dtype=jnp.int32)
         hi, lo = _u64_emu_phase(self.phase, m_idx, self.step)
         hi, lo_full = hi[:out_capacity], lo
@@ -357,7 +452,17 @@ class Resamp:
         return (
             y,
             num_output,
-            self.replace(phase=new_phase, window=new_window),
+            self.replace(
+                phase=new_phase, window=new_window,
+                # keep the phase≡0 invariant only when this block provably
+                # consumed whole schedule periods within capacity
+                exact_sched=self.exact_sched
+                if (self.exact_sched is not None
+                    and n % self.exact_sched[1] == 0
+                    and (n // self.exact_sched[1]) * self.exact_sched[0]
+                    <= out_capacity)
+                else None,
+            ),
             new_osc,
         )
 

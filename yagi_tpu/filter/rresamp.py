@@ -154,18 +154,26 @@ class Rresamp:
         n_out = n_blk * P
         L = self.sub_len
 
-        j = np.arange(n_out) % P
-        blk = np.arange(n_out) // P
-        src = blk * self.q + (j * self.q) // P  # input index per output
-        branch = (j * self.q) % P
-
         xa = jnp.concatenate([self.window[..., 1:].astype(x.dtype), x], axis=-1)
-        frame_idx = jnp.asarray(src[:, None] + np.arange(L)[None, :])
-        frames = xa[..., frame_idx]  # [..., n_out, L]
-        hb = jnp.take(self.branches, jnp.asarray(branch), axis=0)  # [n_out, L]
-        y = jnp.einsum(
-            "...cl,cl->...c", frames, hb[:, ::-1], precision=jax.lax.Precision.HIGHEST
-        )
+        from ._sched import sched_banded_matmul, sched_matmul_ok
+
+        j = np.arange(P)
+        src_off = (j * self.q) // P
+        branch = (j * self.q) % P
+        if sched_matmul_ok(P, self.q, L):
+            # static schedule → banded MXU matmul (the round-2 gather+einsum
+            # form measured 0.019 Gsps on TPU, kernels/ROOFLINE.md)
+            y = sched_banded_matmul(xa, self.branches, src_off, branch,
+                                    self.q, n_blk)
+        else:  # heavy decimation: band matrix would be mostly zeros
+            src = np.arange(n_out) // P * self.q + src_off[np.arange(n_out) % P]
+            frame_idx = jnp.asarray(src[:, None] + np.arange(L)[None, :])
+            frames = xa[..., frame_idx]  # [..., n_out, L]
+            hb = jnp.take(self.branches, jnp.asarray(branch[np.arange(n_out) % P]), axis=0)
+            y = jnp.einsum(
+                "...cl,cl->...c", frames, hb[:, ::-1],
+                precision=jax.lax.Precision.HIGHEST,
+            )
         y = y * self.scale
         new_window = xa[..., xa.shape[-1] - L :]
         return y, self.replace(window=new_window)

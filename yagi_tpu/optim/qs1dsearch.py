@@ -113,6 +113,13 @@ class Qs1dSearch:
             self.v0, self.u0 = vb, ub
         self.num_steps += 1
 
+    def execute(self) -> None:
+        """API parity no-op (qs1dsearch.rs:212-214)."""
+        return None
+
+    def get_num_steps(self) -> int:
+        return self.num_steps
+
     def get_opt_v(self) -> float:
         return self.v0
 

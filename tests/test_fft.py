@@ -10,6 +10,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu import fft as yfft
 from yagi_tpu.errors import ConfigError
 from yagi_tpu.math.windows import WindowType
@@ -190,3 +191,199 @@ class TestSpgram:
             PsdRegion(-0.5, 0.5, pmin=-10.0, pmax=10.0, test_lo=True, test_hi=True)
         ]
         assert validate_psd_spgram(sp, regions)
+
+
+class TestSpgramReferenceScenarios:
+    """The reference's spgramcf autotest scenarios (spgram.rs:335-660):
+    white-noise PSD flatness across nfft/window configs, mixed QPSK signal
+    against PSD region masks, counter bookkeeping, invalid configs, and the
+    one-shot estimator."""
+
+    def _noise_bench(self, nfft, wlen, delay, wtype, noise_floor=-80.0,
+                     blocks=400):
+        nstd = 10.0 ** (noise_floor / 20.0)
+        rng = np.random.default_rng(nfft * 7 + 13)
+        n = blocks * nfft
+        x = (nstd * np.sqrt(0.5) * (rng.normal(size=n) + 1j * rng.normal(size=n))
+             ).astype(np.complex64)
+        if wlen == 0 or delay == 0 or wtype is None:
+            sp = yfft.Spgram.create(nfft)
+        else:
+            sp = yfft.Spgram.create(nfft, wtype, wlen, delay)
+        sp = sp.write(x)
+        assert int(sp.num_samples) == n
+        assert int(sp.num_samples_total) == n
+        psd = np.asarray(sp.get_psd())
+        # tolerance widened 0.5→0.7 dB for the shorter run (400·nfft samples
+        # vs the reference's 2000·nfft, spgram.rs:343) to keep CPU time sane
+        np.testing.assert_allclose(psd, noise_floor, atol=0.7)
+
+    _NOISE = {
+        "440": (440, 0, 0, None),
+        "1024": (1024, 0, 0, None),
+        "1200": (1200, 0, 0, None),
+        "custom_0": (400, 400, 100, WindowType.HAMMING),
+        "custom_1": (512, 200, 120, WindowType.HAMMING),
+        "custom_2": (640, 100, 10, WindowType.HAMMING),
+        "custom_3": (960, 83, 17, WindowType.HAMMING),
+        "hamming": (800, 0, 0, WindowType.HAMMING),
+        "hann": (800, 0, 0, WindowType.HANN),
+        "blackmanharris": (800, 0, 0, WindowType.BLACKMAN_HARRIS),
+        "blackmanharris7": (800, 0, 0, WindowType.BLACKMAN_HARRIS7),
+        "kaiser": (800, 0, 0, WindowType.KAISER),
+        "flattop": (800, 0, 0, WindowType.FLAT_TOP),
+        "triangular": (800, 0, 0, WindowType.TRIANGULAR),
+        "rcostaper": (800, 0, 0, WindowType.RCOS_TAPER),
+        "kbd": (800, 0, 0, WindowType.KBD),
+    }
+
+    @autotest(param_map={f"-{k}]": f"spgramcf_noise_{k}" for k in _NOISE})
+    @pytest.mark.parametrize("case", sorted(_NOISE))
+    def test_noise(self, case):
+        nfft, wlen, delay, wtype = self._NOISE[case]
+        # explicit-window cases use the reference's exact (wlen, delay);
+        # named-window cases use defaults with that window type
+        if wlen == 0 and wtype is not None:
+            sp_args = (nfft, wtype)
+            self._noise_bench(nfft, nfft // 2, nfft // 4, wtype)
+        else:
+            self._noise_bench(nfft, wlen, delay, wtype)
+
+    _SIGNAL = {
+        "00": (800, WindowType.HAMMING, 0.0, 30.0),
+        "01": (800, WindowType.HAMMING, 0.2, 10.0),
+        "02": (800, WindowType.HANN, 0.2, 10.0),
+        "03": (400, WindowType.KAISER, -0.3, 40.0),
+        "04": (640, WindowType.HAMMING, -0.2, 0.0),
+        "05": (640, WindowType.HAMMING, 0.1, -3.0),
+    }
+
+    @autotest(param_map={f"-{k}]": f"spgramcf_signal_{k}" for k in _SIGNAL})
+    @pytest.mark.parametrize("case", sorted(_SIGNAL))
+    def test_signal(self, case):
+        """QPSK stream mixed to fc + noise → PSD regions (spgram.rs:437-467)."""
+        from yagi_tpu.design import FirFilterShape
+        from yagi_tpu.framing import SymStreamR
+        from yagi_tpu.nco import Osc
+        from yagi_tpu.utils import PsdRegion, validate_psd_spectrum
+
+        nfft, wtype, fc, snr_db = self._SIGNAL[case]
+        bw, m, beta, n0, tol = 0.25, 25, 0.2, -80.0, 0.7
+        rng = np.random.default_rng(int(case) + 99)
+        sp = yfft.Spgram.create(nfft, wtype, nfft // 2, nfft // 4)
+        gen = SymStreamR(FirFilterShape.KAISER, bw, m, beta, "qpsk")
+        gen.set_gain(10.0 ** ((n0 + snr_db + 10.0 * np.log10(bw)) / 20.0))
+        mixer = Osc.create("vco").set_frequency(2.0 * np.pi * fc)
+        nstd = 10.0 ** (n0 / 20.0)
+
+        total = 400 * nfft
+        sig = gen.write_samples(total).astype(np.complex64)
+        mixed, mixer = mixer.mix_block_up(jnp.asarray(sig))
+        noise = (nstd * np.sqrt(0.5) *
+                 (rng.normal(size=total) + 1j * rng.normal(size=total)))
+        sp = sp.write(jnp.asarray(np.asarray(mixed) + noise.astype(np.complex64)))
+        psd = np.asarray(sp.get_psd())
+        sn = 10.0 * np.log10(10 ** ((snr_db + n0) / 10.0) + 10 ** (n0 / 10.0))
+        regions = [
+            PsdRegion(-0.5, fc - 0.6 * bw, n0 - tol, n0 + tol, True, True),
+            PsdRegion(fc - 0.4 * bw, fc + 0.4 * bw, sn - tol, sn + tol, True, True),
+            PsdRegion(fc + 0.6 * bw, 0.5, n0 - tol, n0 + tol, True, True),
+        ]
+        assert validate_psd_spectrum(psd, nfft, regions), case
+
+    @autotest("spgramcf_counters")
+    def test_counters(self):
+        """Counter bookkeeping incl. clear/reset (spgram.rs:471-543)."""
+        nfft, wlen, delay = 1200, 400, 200
+        sp = yfft.Spgram.create(nfft, WindowType.HAMMING, wlen, delay)
+        sp2 = sp.set_alpha(0.1)
+        assert sp2.get_alpha() == pytest.approx(0.1, abs=1e-6)
+        with pytest.raises(ConfigError):
+            sp2.set_alpha(-7.0)
+        assert sp2.get_alpha() == pytest.approx(0.1, abs=1e-6)
+        sp = sp2.set_alpha(0.0123456)
+        assert sp.get_alpha() == pytest.approx(0.0123456, abs=1e-6)
+        assert sp.get_nfft() == nfft
+        assert sp.get_window_len() == wlen
+        assert sp.get_delay() == delay
+
+        block_len, num_blocks = 1117, 89  # scaled from 1123 for CPU time
+        num_samples = block_len * num_blocks
+        num_transforms = num_samples // delay
+        rng = np.random.default_rng(5)
+        x = (rng.normal(size=num_samples) + 1j * rng.normal(size=num_samples)
+             ).astype(np.complex64)
+        sp = sp.write(jnp.asarray(x))
+        assert int(sp.num_samples) == num_samples
+        assert int(sp.num_samples_total) == num_samples
+        assert int(sp.num_transforms) == num_transforms
+        assert int(sp.num_transforms_total) == num_transforms
+
+        sp = sp.clear()
+        block = (rng.normal(size=block_len) + 1j * rng.normal(size=block_len)
+                 ).astype(np.complex64)
+        for _ in range(num_blocks):
+            sp = sp.write(jnp.asarray(block))
+        assert int(sp.num_samples) == num_samples
+        assert int(sp.num_samples_total) == 2 * num_samples
+        assert int(sp.num_transforms) == num_transforms
+        assert int(sp.num_transforms_total) == 2 * num_transforms
+
+        sp = sp.reset()
+        assert int(sp.num_samples) == 0
+        assert int(sp.num_samples_total) == 0
+        assert int(sp.num_transforms) == 0
+        assert int(sp.num_transforms_total) == 0
+
+    @autotest("spgramcf_invalid_config")
+    def test_invalid_config_reference(self):
+        """All invalid ctor configs of spgram.rs:546-566."""
+        for args in [
+            (0, WindowType.HAMMING, 100, 100),
+            (1, WindowType.HAMMING, 100, 100),
+            (2, WindowType.HAMMING, 100, 100),   # window exceeds nfft
+            (400, WindowType.HAMMING, 0, 200),   # window too small
+            (400, WindowType.KBD, 201, 200),     # KBD must be even
+            (400, WindowType.HAMMING, 200, 0),   # delay too small
+        ]:
+            with pytest.raises(ConfigError):
+                yfft.Spgram.create(*args)
+        with pytest.raises(ConfigError):
+            yfft.Spgram.create(0)
+        with pytest.raises(ConfigError):
+            yfft.Spgram.create(1)
+        with pytest.raises(ConfigError):
+            yfft.Spgram.create(540).set_rate(-10e6)
+
+    @autotest("spgramcf_standalone")
+    def test_standalone(self):
+        """One-shot estimate_psd: DC spike over noise floor (spgram.rs:571-596)."""
+        nfft = 1200
+        n = 20 * nfft
+        noise_floor = -20.0
+        nstd = 10.0 ** (noise_floor / 20.0)
+        rng = np.random.default_rng(6)
+        buf = (0.1 + nstd * np.sqrt(0.5) *
+               (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+        psd = np.asarray(yfft.spgram_estimate_psd(nfft, jnp.asarray(buf)))
+        i = np.arange(nfft)
+        mask_lo = np.where(i == nfft // 2, 2.0, noise_floor - 3.0)
+        mask_hi = np.where((i > nfft // 2 - 10) & (i < nfft // 2 + 10), 8.0,
+                           noise_floor + 3.0)
+        assert (psd > mask_lo).all()
+        assert (psd < mask_hi).all()
+
+    @autotest("spgramcf_short")
+    def test_short(self):
+        """estimate_psd on a short buffer (spgram.rs:598-621)."""
+        nfft, n = 1200, 200
+        noise_floor = -20.0
+        nstd = 10.0 ** (noise_floor / 20.0)
+        rng = np.random.default_rng(8)
+        buf = (1.0 + nstd * np.sqrt(0.5) *
+               (rng.normal(size=n) + 1j * rng.normal(size=n))).astype(np.complex64)
+        psd = np.asarray(yfft.spgram_estimate_psd(nfft, jnp.asarray(buf)))
+        f = np.arange(nfft) / nfft - 0.5
+        mask_hi = np.where(np.abs(f) < 0.2, 15.0 - 30.0 * np.abs(f) / 0.2, -15.0)
+        assert (psd < mask_hi).all()
+        assert psd[nfft // 2] > 0.0

@@ -11,6 +11,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu.design import FirFilterShape
 from yagi_tpu.errors import ConfigError
 from yagi_tpu.filter import FirInterpolationFilter, Symsync
@@ -187,3 +188,111 @@ class TestSymsync:
             Symsync.create_kaiser(2, 0, 0.3)
         with pytest.raises(ConfigError):
             Symsync.create_rnyquist(FirFilterShape.RRCOS, 2, 5, 1.5)
+
+
+class TestSymStreamDelayScenarios:
+    """The reference's 20+20 symstream(r) delay-accounting autotests
+    (symstream.rs:169-236, symstreamr.rs:150-261): impulse-onset delay for
+    the linear stream, phase-slope group delay for the arbitrary-rate one."""
+
+    _CF = {"00": (2, 4), "01": (2, 5), "02": (2, 6), "03": (2, 7),
+           "04": (2, 8), "05": (2, 9), "06": (2, 10), "07": (2, 14),
+           "08": (2, 20), "09": (2, 31), "10": (3, 12), "11": (4, 12),
+           "12": (5, 12), "13": (6, 12), "14": (7, 12), "15": (8, 12),
+           "16": (9, 12), "17": (10, 12), "18": (11, 12), "19": (12, 12)}
+
+    @autotest(param_map={f"cf-{k}]": f"symstreamcf_delay_{k}" for k in _CF})
+    @pytest.mark.parametrize("case", sorted(_CF), ids=[f"cf-{k}" for k in sorted(_CF)])
+    def test_symstream_delay(self, case):
+        k, m = self._CF[case]
+        gen = SymStream(FirFilterShape.ARKAISER, k, m, 0.30, "qpsk")
+        delay = gen.get_delay()
+        x = gen.write_samples(1000 + delay)
+        i = int(np.argmax(np.abs(x) > 0.9))
+        assert abs(delay - i) <= 2 + k, (case, delay, i)
+
+    _RCF = {"00": (0.500, 4), "01": (0.500, 5), "02": (0.500, 6),
+            "03": (0.500, 7), "04": (0.500, 8), "05": (0.500, 9),
+            "06": (0.500, 10), "07": (0.500, 14), "08": (0.500, 20),
+            "09": (0.500, 31), "10": (0.800, 12), "11": (0.700, 12),
+            "12": (0.600, 12), "13": (0.500, 12), "14": (0.400, 12),
+            "15": (0.300, 12), "16": (0.200, 12), "17": (0.100, 12),
+            "18": (0.050, 12), "19": (0.025, 12)}
+
+    @autotest(param_map={f"rcf-{k}]": f"symstreamrcf_delay_{k}" for k in _RCF})
+    @pytest.mark.parametrize("case", sorted(_RCF), ids=[f"rcf-{k}" for k in sorted(_RCF)])
+    def test_symstreamr_delay(self, case):
+        """Group delay via passband phase slope of the impulse response
+        (symstreamr.rs:150-181): one unit-gain sample, then gain 0."""
+        bw, m = self._RCF[case]
+        gen = SymStreamR(FirFilterShape.ARKAISER, bw, m, 0.30, "qpsk")
+        delay = gen.get_delay()
+        nfft = 2 * (120 + int(delay / np.sqrt(bw)))
+        buf = np.zeros(nfft, dtype=np.complex64)
+        buf[:1] = gen.write_samples(1)
+        gen.set_gain(0.0)
+        buf[1:] = gen.write_samples(nfft - 1)
+        F = np.fft.fft(buf)
+        M = int(0.4 * bw * nfft)
+        idx = np.arange(-M, M)
+        p = np.sum(F[idx % nfft] * np.conj(F[(idx + 1) % nfft]))
+        delay_meas = np.angle(p) * nfft / (2.0 * np.pi)
+        assert abs(delay - delay_meas) < 0.05, (case, delay, delay_meas)
+
+
+class TestSymStreamPsdScenarios:
+    """symstream(r) PSD-mask autotests (symstream.rs:277-301,
+    symstreamr.rs:303-326), shortened runs (48000·k / 48000/bw samples vs
+    the reference's 192000·k — same masks)."""
+
+    _CF = {"k2_m12_b030": (2, 12, 0.30), "k4_m12_b030": (4, 12, 0.30),
+           "k4_m25_b020": (4, 25, 0.20), "k7_m11_b035": (7, 11, 0.35)}
+
+    @autotest(param_map={f"[{k}]": f"symstreamcf_psd_{k}" for k in _CF})
+    @pytest.mark.parametrize("case", sorted(_CF))
+    def test_symstream_psd(self, case):
+        from yagi_tpu import fft as yfft
+        from yagi_tpu.utils import PsdRegion, validate_psd_spectrum
+
+        k, m, beta = self._CF[case]
+        gen = SymStream(FirFilterShape.ARKAISER, k, m, beta, "qpsk")
+        gen.set_gain(1.0 / np.sqrt(k))
+        nfft = 2400
+        sp = yfft.Spgram.create(nfft)
+        n = 48000 * k
+        sp = sp.write(jnp.asarray(gen.write_samples(n).astype(np.complex64)))
+        psd = np.asarray(sp.get_psd())
+        f0 = 0.5 * (1.0 - beta) / k
+        f1 = 0.5 * (1.0 + beta) / k
+        regions = [
+            PsdRegion(-0.5, -f1, 0.0, -80.0, False, True),
+            PsdRegion(-f0, f0, -1.0, 1.0, True, True),
+            PsdRegion(f1, 0.5, 0.0, -80.0, False, True),
+        ]
+        assert validate_psd_spectrum(psd, nfft, regions), case
+
+    _RCF = {"bw200_m12_b030": (0.2, 12, 0.30), "bw400_m12_b030": (0.4, 12, 0.30),
+            "bw400_m25_b020": (0.4, 25, 0.20), "bw700_m11_b035": (0.7, 11, 0.35)}
+
+    @autotest(param_map={f"[{k}]": f"symstreamrcf_psd_{k}" for k in _RCF})
+    @pytest.mark.parametrize("case", sorted(_RCF))
+    def test_symstreamr_psd(self, case):
+        from yagi_tpu import fft as yfft
+        from yagi_tpu.utils import PsdRegion, validate_psd_spectrum
+
+        bw, m, beta = self._RCF[case]
+        gen = SymStreamR(FirFilterShape.ARKAISER, bw, m, beta, "qpsk")
+        gen.set_gain(np.sqrt(bw))
+        nfft = 2400
+        sp = yfft.Spgram.create(nfft)
+        n = int(48000 / bw)
+        sp = sp.write(jnp.asarray(gen.write_samples(n).astype(np.complex64)))
+        psd = np.asarray(sp.get_psd())
+        f0 = 0.5 * (1.0 - beta) * bw
+        f1 = 0.5 * (1.0 + beta) * bw
+        regions = [
+            PsdRegion(-0.5, -f1, 0.0, -55.0, False, True),
+            PsdRegion(-f0, f0, -2.0, 2.0, True, True),
+            PsdRegion(f1, 0.5, 0.0, -55.0, False, True),
+        ]
+        assert validate_psd_spectrum(psd, nfft, regions), case

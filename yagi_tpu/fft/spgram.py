@@ -100,9 +100,9 @@ class Spgram:
             raise ConfigError("window size cannot exceed fft size")
         if window_len == 0:
             raise ConfigError("window size must be greater than zero")
-        if wtype == WindowType.KAISER and window_len % 2 != 0:
+        if wtype in (WindowType.KAISER, WindowType.KBD) and window_len % 2 != 0:
             # reference enforces even length for its Kaiser/KBD path
-            raise ConfigError("window length must be even for Kaiser window")
+            raise ConfigError("window length must be even for Kaiser/KBD window")
         if delay == 0:
             raise ConfigError("delay must be greater than 0")
         if alpha != -1.0 and not (0.0 <= alpha <= 1.0):
@@ -227,6 +227,37 @@ class Spgram:
             num_transforms=self.num_transforms + 1,
             num_transforms_total=self.num_transforms_total + 1,
         )
+
+    # ------------------------------------------------------------- accessors
+    def get_nfft(self) -> int:
+        return self.nfft
+
+    def get_window_len(self) -> int:
+        return self.window_len
+
+    def get_delay(self) -> int:
+        return self.delay
+
+    def get_alpha(self) -> float:
+        """Smoothing factor; -1 in accumulate mode (spgram.rs get_alpha)."""
+        return -1.0 if self.accumulate else self.alpha
+
+    def set_alpha(self, alpha: float) -> "Spgram":
+        """Switch accumulate (-1) / exponential smoothing (spgram.rs:158-183)."""
+        if alpha != -1.0 and not (0.0 <= alpha <= 1.0):
+            raise ConfigError("alpha must be -1 or in [0,1]")
+        accumulate = alpha == -1.0
+        return self.replace(
+            accumulate=accumulate,
+            alpha=1.0 if accumulate else float(alpha),
+            gamma=1.0 if accumulate else 1.0 - float(alpha),
+        )
+
+    def set_rate(self, rate: float) -> "Spgram":
+        """Display sample rate; must be positive (spgram.rs set_rate)."""
+        if rate <= 0.0:
+            raise ConfigError("sample rate must be greater than zero")
+        return self  # display-only in the reference; no state to carry
 
     # --------------------------------------------------------------- output
     def get_psd_mag(self):

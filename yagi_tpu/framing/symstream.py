@@ -50,7 +50,10 @@ class SymStream:
         self.m = m
         self.beta = beta
         self.modem = Modem.create(scheme)
-        self.msequence = MSequence.create_default(7)
+        # m=11 randomizer (period 2047) per the reference's modem randomizer
+        # (modem.rs:446); a shorter sequence's line spectrum notches the
+        # signal PSD (visible as a ~3.6 dB DC dip at m=7)
+        self.msequence = MSequence.create_default(11)
         self.gain = 1.0
         self.interp = FirInterpolationFilter.create_prototype(
             ftype, k, m, beta, 0.0, dtype=jnp.complex64
@@ -170,12 +173,31 @@ class SymStreamR:
         self._carry = np.zeros(0, dtype=np.complex64)
 
     def write_samples(self, num_samples: int) -> np.ndarray:
-        """Generate num_samples samples (symstreamr.rs:118ff)."""
-        while len(self._carry) < num_samples:
-            chunk_in = 256
+        """Generate num_samples samples (symstreamr.rs:118ff).
+
+        Generated in power-of-two input chunks sized to the request (few jit
+        specializations, one resampler call per chunk) rather than the
+        reference's fixed tiny buffer loop.
+        """
+        parts = [self._carry]
+        have = len(self._carry)
+        rate = float(self.resamp.get_rate())
+        while have < num_samples:
+            # size the input chunk to the remaining request: large requests
+            # amortize (few jit shapes), small requests stay input-sample
+            # granular so set_gain takes effect within ~1 input sample of
+            # carried lookahead — the reference's buffer holds at most one
+            # input sample's worth of resampler output (symstreamr.rs:40-48)
+            need_in = max(1, int(np.ceil((num_samples - have) / max(rate, 1e-6))))
+            chunk_in = 1
+            while chunk_in < need_in and chunk_in < (1 << 16):
+                chunk_in *= 2
             x = self.symstream.write_samples(chunk_in)
             y, self.resamp = self.resamp.execute(jnp.asarray(x))
-            self._carry = np.concatenate([self._carry, np.asarray(y).ravel()])
+            y = np.asarray(y).ravel()
+            parts.append(y)
+            have += len(y)
+        self._carry = np.concatenate(parts) if len(parts) > 1 else parts[0]
         out = self._carry[:num_samples]
         self._carry = self._carry[num_samples:]
         return out

@@ -59,3 +59,4 @@ def test_two_process_stream():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
     assert "MULTIHOST_OK procs=2 devices=4 local=2" in outs[0], outs[0]
+    assert "MULTIHOST_CHANNELIZER_OK M=64 T=96 procs=2" in outs[0], outs[0]

@@ -75,6 +75,38 @@ def main() -> int:
         np.testing.assert_array_equal(y_all, np.concatenate(parts, axis=-1))
         print(f"MULTIHOST_OK procs={n_proc} devices={len(jax.devices())} "
               f"local={len(jax.local_devices())}", flush=True)
+
+    # ---- flagship 64-channel channelizer + all_to_all across DCN --------
+    # (VERDICT r2 item 7: the collective that carries real volume must cross
+    # the process boundary, not just the halo ppermute)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from yagi_tpu.multichannel import Firpfbch
+    from yagi_tpu.parallel import sharded_channelize_to_channels
+
+    M = 64
+    chz = Firpfbch.create_kaiser(M, 4, 60.0)
+    T = n_time * 24  # channelizer steps, one block of 24 per device
+    xc = (rng.standard_normal(T * M) + 1j * rng.standard_normal(T * M)).astype(
+        np.complex64
+    )
+    per = (T * M) // n_proc
+    sharding = NamedSharding(mesh, P("time"))
+    xg2 = jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(xc[pid * per : (pid + 1) * per])
+    )
+    y2 = jax.jit(lambda v: sharded_channelize_to_channels(chz, v, mesh))(xg2)
+    y2_all = gather_to_hosts(y2)
+
+    if pid == 0:
+        y_ref, _ = chz.analyzer_execute(jnp.asarray(xc))
+        y_ref = np.asarray(y_ref)
+        assert y2_all.shape == y_ref.shape == (M, T)
+        # bit-identical past the zero-state transient (step p)
+        np.testing.assert_array_equal(y2_all[:, chz.p :], y_ref[:, chz.p :])
+        print(f"MULTIHOST_CHANNELIZER_OK M={M} T={T} procs={n_proc}",
+              flush=True)
     return 0
 
 

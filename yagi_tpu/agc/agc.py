@@ -231,15 +231,24 @@ class Agc:
 
     # ------------------------------------------------------------- streaming
     def execute_block(self, x) -> tuple[jnp.ndarray, "Agc"]:
-        """Gain-control a block via time scan (agc.rs:91)."""
+        """Gain-control a block via time scan (agc.rs:91).
+
+        Scan boundaries are planar f32 (xs split re/im, ys one packed f32
+        array): the production TPU toolchain runs scans with complex or
+        multi-array ys >1000× slow (kernels/ROOFLINE.md feedback-scan rules).
+        """
         x = jnp.asarray(x)
-        xt = jnp.moveaxis(x, -1, 0)
+        is_c = jnp.issubdtype(x.dtype, jnp.complexfloating)
+        xt_r = jnp.moveaxis(jnp.real(x), -1, 0)
+        xt_i = jnp.moveaxis(jnp.imag(x), -1, 0) if is_c else jnp.zeros_like(xt_r)
         timeout = self.squelch_timeout
 
-        def step(carry, xi):
+        def step(carry, inp):
             g, y2p, mode, timer = carry
-            y = xi * g
-            y2 = jnp.abs(y) ** 2
+            xr, xi = inp
+            yr = xr * g
+            yi = xi * g
+            y2 = yr * yr + yi * yi
             y2p_new = (1.0 - self.alpha) * y2p + self.alpha * y2
             g_upd = g * jnp.exp(-0.5 * self.alpha * jnp.log(jnp.maximum(y2p_new, 1e-30)))
             g_upd = jnp.where(y2p_new > 1e-6, g_upd, g)
@@ -250,12 +259,20 @@ class Agc:
             mode_new, timer_new = _squelch_step(mode, timer, te, timeout)
             mode_new = jnp.where(self.locked, mode, mode_new)
             timer_new = jnp.where(self.locked, timer, timer_new)
-            out = jnp.where(self.locked, y, y * self.scale)
-            return (g_new, y2p_new, mode_new, timer_new), out
+            s = jnp.where(self.locked, 1.0, self.scale)
+            packed = jnp.stack([yr * s, yi * s], axis=-1)
+            return (g_new, y2p_new, mode_new, timer_new), packed
 
         carry0 = (self.g, self.y2_prime, self.squelch_mode, self.squelch_timer)
-        (g, y2p, mode, timer), yt = jax.lax.scan(step, carry0, xt, unroll=8)
-        y = jnp.moveaxis(yt, 0, -1)
+        (g, y2p, mode, timer), packed = jax.lax.scan(
+            step, carry0, (xt_r, xt_i), unroll=8
+        )
+        packed = jnp.moveaxis(packed, 0, -2)  # [..., n, 2]
+        y = (
+            jax.lax.complex(packed[..., 0], packed[..., 1])
+            if is_c
+            else packed[..., 0].astype(x.dtype)
+        )
         return y, self.replace(
             g=g, y2_prime=y2p, squelch_mode=mode, squelch_timer=timer
         )

@@ -106,8 +106,10 @@ class Cvsd:
             ref, delta, bitref = self._advance(ref, delta, bitref, bit)
             return (ref, delta, bitref, xi), bit
 
+        from ..utils.planar import planar_scan
+
         carry0 = (self.ref, self.delta, self.bitref, self.pre_state)
-        (ref, delta, bitref, pre), bt = jax.lax.scan(
+        (ref, delta, bitref, pre), bt = planar_scan(
             body, carry0, jnp.moveaxis(x, -1, 0)
         )
         bits = jnp.moveaxis(bt, 0, -1).astype(jnp.uint8)
@@ -126,8 +128,10 @@ class Cvsd:
             y = ref + self.alpha * post  # de-emphasis
             return (ref, delta, bitref, y), y
 
+        from ..utils.planar import planar_scan
+
         carry0 = (self.ref, self.delta, self.bitref, self.post_state)
-        (ref, delta, bitref, post), yt = jax.lax.scan(
+        (ref, delta, bitref, post), yt = planar_scan(
             body, carry0, jnp.moveaxis(bits.astype(jnp.uint32), -1, 0)
         )
         y = jnp.moveaxis(yt, 0, -1)

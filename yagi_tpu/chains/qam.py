@@ -161,9 +161,13 @@ class QamRx:
         n1 = jnp.minimum(n1, cap)
         valid = jnp.arange(cap) < n1[..., None] if n1.ndim else jnp.arange(cap) < n1
 
+        from ..utils.planar import planarize, unplanarize
+
         def body(carry, inp):
-            eq, theta, dtheta, sph, eacc, ecnt = carry
-            xi, vi = inp
+            eq, theta, dtheta, sph, eacc, ecnt = unplanarize(carry)
+            xi_r, xi_i, vi_f = inp  # planar f32 xs (TPU feedback-scan rules)
+            xi = jax.lax.complex(xi_r, xi_i)
+            vi = vi_f > 0.5
             eq_p = eq.push(xi)
             y = eq_p.execute()
             is_sym = vi & (sph == 0)
@@ -194,20 +198,27 @@ class QamRx:
             sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
             eacc = jnp.where(can_adapt, eacc + jnp.abs(vs - shat) ** 2, eacc)
             ecnt = jnp.where(can_adapt, ecnt + 1.0, ecnt)
-            return (eq, theta, dtheta, sph, eacc, ecnt), (s, vs, is_sym)
+            # ONE packed f32 ys: [sym, re(vs), im(vs), is_sym]
+            packed = jnp.stack(
+                [s.astype(jnp.float32), jnp.real(vs), jnp.imag(vs),
+                 is_sym.astype(jnp.float32)], axis=-1,
+            )
+            return planarize((eq, theta, dtheta, sph, eacc, ecnt)), packed
 
-        carry0 = (
+        carry0 = planarize((
             self.eq, self.theta, self.dtheta, self.sym_phase,
             self.evm_accum, self.evm_count,
-        )
-        xt = jnp.moveaxis(y1, -1, 0)
-        vt = jnp.moveaxis(valid, -1, 0)
-        carry, (st, vst, mt) = jax.lax.scan(body, carry0, (xt, vt), unroll=4)
-        eq, theta, dtheta, sph, eacc, ecnt = carry
+        ))
+        xt_r = jnp.moveaxis(jnp.real(y1), -1, 0)
+        xt_i = jnp.moveaxis(jnp.imag(y1), -1, 0)
+        vt_f = jnp.moveaxis(valid.astype(jnp.float32), -1, 0)
+        carry, packed = jax.lax.scan(body, carry0, (xt_r, xt_i, vt_f), unroll=4)
+        eq, theta, dtheta, sph, eacc, ecnt = unplanarize(carry)
 
-        syms = jnp.moveaxis(st, 0, -1)
-        soft = jnp.moveaxis(vst, 0, -1)
-        mask = jnp.moveaxis(mt, 0, -1)
+        packed = jnp.moveaxis(packed, 0, -2)  # [..., cap, 4]
+        syms = packed[..., 0].astype(jnp.uint32)
+        soft = jax.lax.complex(packed[..., 1], packed[..., 2])
+        mask = packed[..., 3] > 0.5
         num_syms = jnp.sum(mask.astype(jnp.int32), axis=-1)
         order = jnp.argsort(~mask, axis=-1, stable=True)
         syms = jnp.take_along_axis(syms, order, axis=-1)

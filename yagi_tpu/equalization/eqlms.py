@@ -145,32 +145,44 @@ class Eqlms:
         """Supervised training over (x, d) pairs via scan.
 
         Per sample: push, y = execute, update toward d. Returns outputs.
+        Scan boundaries are planar f32 (TPU feedback-scan dtype rules,
+        kernels/ROOFLINE.md).
         """
-        x = jnp.asarray(x)
-        d = jnp.asarray(d)
-        xt = jnp.moveaxis(x, -1, 0)
-        dt = jnp.moveaxis(d, -1, 0)
+        from ..utils.planar import planarize, unplanarize
 
-        def body(eq, inp):
-            xi, di = inp
-            eq = eq.push(xi)
+        x = jnp.asarray(x, self.buffer.dtype)
+        d = jnp.asarray(d, self.buffer.dtype)
+        xs = (
+            jnp.moveaxis(jnp.real(x), -1, 0), jnp.moveaxis(jnp.imag(x), -1, 0),
+            jnp.moveaxis(jnp.real(d), -1, 0), jnp.moveaxis(jnp.imag(d), -1, 0),
+        )
+
+        def body(eq_p, inp):
+            xr, xi, dr, di = inp
+            eq = unplanarize(eq_p)
+            eq = eq.push(jax.lax.complex(xr, xi))
             y = eq.execute()
-            eq = eq.step(di, y)
-            return eq, y
+            eq = eq.step(jax.lax.complex(dr, di), y)
+            return planarize(eq), jnp.stack([jnp.real(y), jnp.imag(y)], -1)
 
-        eq, yt = jax.lax.scan(body, self, (xt, dt), unroll=4)
-        return jnp.moveaxis(yt, 0, -1), eq
+        eq_p, packed = jax.lax.scan(body, planarize(self), xs, unroll=4)
+        packed = jnp.moveaxis(packed, 0, -2)
+        return jax.lax.complex(packed[..., 0], packed[..., 1]), unplanarize(eq_p)
 
     def execute_block(self, k: int, x) -> tuple[jnp.ndarray, "Eqlms"]:
         """Blind decision-directed processing (eqlms.rs:153-168): output every
         sample, CM-update every k-th."""
+        from ..utils.planar import planarize, unplanarize
+
         if k == 0:
             raise ConfigError("down-sampling rate 'k' must be greater than 0")
-        x = jnp.asarray(x)
-        xt = jnp.moveaxis(x, -1, 0)
+        x = jnp.asarray(x, self.buffer.dtype)
+        xs = (jnp.moveaxis(jnp.real(x), -1, 0), jnp.moveaxis(jnp.imag(x), -1, 0))
 
-        def body(eq, xi):
-            eq = eq.push(xi)
+        def body(eq_p, inp):
+            xr, xi = inp
+            eq = unplanarize(eq_p)
+            eq = eq.push(jax.lax.complex(xr, xi))
             y = eq.execute()
             do_update = ((eq.count + k - 1) % k) == 0
             eq_upd = eq.step_blind(y)
@@ -185,10 +197,11 @@ class Eqlms:
                 eq,
                 eq_upd,
             )
-            return eq, y
+            return planarize(eq), jnp.stack([jnp.real(y), jnp.imag(y)], -1)
 
-        eq, yt = jax.lax.scan(body, self, xt, unroll=4)
-        return jnp.moveaxis(yt, 0, -1), eq
+        eq_p, packed = jax.lax.scan(body, planarize(self), xs, unroll=4)
+        packed = jnp.moveaxis(packed, 0, -2)
+        return jax.lax.complex(packed[..., 0], packed[..., 1]), unplanarize(eq_p)
 
     def decim_execute(self, x, k: int):
         """Push k samples, output at the first (eqlms.rs:142-151)."""

@@ -117,5 +117,7 @@ class Eqrls:
             eq = eq.step(di, y)
             return eq, y
 
-        eq, yt = jax.lax.scan(body, self, (xt, dt), unroll=4)
+        from ..utils.planar import planar_scan
+
+        eq, yt = planar_scan(body, self, (xt, dt), unroll=4)
         return jnp.moveaxis(yt, 0, -1), eq

@@ -131,14 +131,16 @@ def _viterbi(levels, expected, prev0, prev1):
         new_m = new_m - new_m.min()  # renormalize to avoid drift
         return new_m, take1
 
-    _, decisions = jax.lax.scan(step, m0, levels)  # decisions [T, S] bool
+    from ..utils.planar import planar_scan
+
+    _, decisions = planar_scan(step, m0, levels)  # decisions [T, S] bool
 
     def back(s, take1_t):
         bit = s & 1
         p = jnp.where(take1_t[s], prev1[s], prev0[s])
         return p, bit
 
-    _, bits_rev = jax.lax.scan(back, jnp.int32(0), decisions, reverse=True)
+    _, bits_rev = planar_scan(back, jnp.int32(0), decisions, reverse=True)
     return bits_rev  # [T] (time-ordered because reverse scan stacks in order)
 
 

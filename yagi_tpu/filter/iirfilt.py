@@ -297,7 +297,9 @@ class IirFilter:
                 v_new = jnp.concatenate([v0[..., None], v[..., :-1]], axis=-1)
                 return v_new, y
 
-        v_final, yt = jax.lax.scan(step, self.v, xt, unroll=8)
+        from ..utils.planar import planar_scan
+
+        v_final, yt = planar_scan(step, self.v, xt, unroll=8)
         y = jnp.moveaxis(yt, 0, -1) * self.scale
         return y, self.replace(v=v_final)
 

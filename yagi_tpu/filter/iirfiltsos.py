@@ -84,8 +84,10 @@ class IirFilterSos:
             y = self.b[0] * v0 + self.b[1] * v1 + self.b[2] * v2
             return jnp.stack([v0, v1], axis=-1), y
 
+        from ..utils.planar import planar_scan
+
         xt = jnp.moveaxis(x, -1, 0)  # scan over time
-        v_final, yt = jax.lax.scan(step, self.v, xt, unroll=8)
+        v_final, yt = planar_scan(step, self.v, xt, unroll=8)
         y = jnp.moveaxis(yt, 0, -1)
         return y, self.replace(v=v_final)
 

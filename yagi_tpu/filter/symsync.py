@@ -204,10 +204,17 @@ class Symsync:
         gather-free control loop (one-hot branch select + biquad loop filter).
         This replaces the round-2 per-step dynamic gathers that were
         scalar-unit-bound on TPU (~16 µs/sample-step).
+
+        Scan-boundary dtype rules for the production TPU toolchain (measured,
+        kernels/ROOFLINE.md "feedback-scan boundary rules"): complex or bool
+        or int leaves in the scan's xs/ys, complex in the carry, or ys being
+        a TUPLE of arrays each executes >1000× slow. Hence: planar f32 xs,
+        real/int carry, and ONE packed f32 ys array per step.
         """
         x = jnp.asarray(x, dtype=self.window.dtype)
         n = x.shape[-1]
         kf = jnp.float32(self.k)
+        E = _MAX_EMIT
 
         # all-branch filterbank outputs for every input step (window after
         # pushing x[t] is xa[..., t+1 : t+Lsub+1])
@@ -216,9 +223,13 @@ class Symsync:
 
         mf_all = multi_branch_conv(xa[..., 1:], self.mf)  # [..., npfb, n]
         dmf_all = multi_branch_conv(xa[..., 1:], self.dmf)
-        mft = jnp.moveaxis(mf_all, -1, 0)  # [n, ..., npfb]
-        dmft = jnp.moveaxis(dmf_all, -1, 0)
+        # planar f32, time-major for the scan
+        mft_r = jnp.moveaxis(jnp.real(mf_all), -1, 0)  # [n, ..., npfb]
+        mft_i = jnp.moveaxis(jnp.imag(mf_all), -1, 0)
+        dmft_r = jnp.moveaxis(jnp.real(dmf_all), -1, 0)
+        dmft_i = jnp.moveaxis(jnp.imag(dmf_all), -1, 0)
         pidx = jnp.arange(self.npfb, dtype=jnp.int32)
+        locked_f = self.locked  # captured constant (not a scan boundary leaf)
 
         def pll_exec(v, q):
             # DF2 biquad (iirfiltsos.rs:103)
@@ -229,9 +240,10 @@ class Symsync:
 
         def step(carry, inp):
             (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
-            mf_t, dmf_t = inp  # [..., npfb]
+            mr_t, mi_t, dr_t, di_t = inp  # [..., npfb] f32 planes
 
-            ys = []
+            ys_r = []
+            ys_i = []
             valids = []
 
             def emit_once(state):
@@ -239,14 +251,16 @@ class Symsync:
                 active = b < self.npfb
                 bb = jnp.clip(b, 0, self.npfb - 1)
                 oh = bb[..., None] == pidx  # one-hot branch select
-                mf_out = jnp.sum(jnp.where(oh, mf_t, 0), axis=-1)
-                y_out = mf_out / kf
+                mr = jnp.sum(jnp.where(oh, mr_t, 0), axis=-1)
+                mi = jnp.sum(jnp.where(oh, mi_t, 0), axis=-1)
 
-                do_timing = (dec == self.k_out) & active & (~self.locked)
+                do_timing = (dec == self.k_out) & active & (~locked_f)
                 dec = jnp.where((dec == self.k_out) & active, 0, dec)
 
-                dmf_out = jnp.sum(jnp.where(oh, dmf_t, 0), axis=-1)
-                q = jnp.clip((jnp.conj(mf_out) * dmf_out).real, -1.0, 1.0)
+                dr = jnp.sum(jnp.where(oh, dr_t, 0), axis=-1)
+                di = jnp.sum(jnp.where(oh, di_t, 0), axis=-1)
+                # Re(conj(mf)·dmf) = mr·dr + mi·di
+                q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
                 pv_new, q_hat = pll_exec(pv, q)
                 rate_new = rate + self.rate_adjustment * q_hat
                 delta_new = rate_new + q_hat
@@ -260,13 +274,14 @@ class Symsync:
                 tau = jnp.where(active, tau + delta, tau)
                 bf = jnp.where(active, tau * self.npfb, bf)
                 b = jnp.where(active, jnp.round(bf).astype(jnp.int32), b)
-                return (b, bf, tau, tau_d, rate, delta, dec, pv), y_out, active
+                return (b, bf, tau, tau_d, rate, delta, dec, pv), (mr, mi), active
 
             state = (b, bf, tau, tau_d, rate, delta, dec, pv)
-            for _ in range(_MAX_EMIT):
-                state, y_out, active = emit_once(state)
-                ys.append(jnp.where(active, y_out, 0))
-                valids.append(active)
+            for _ in range(E):
+                state, (mr, mi), active = emit_once(state)
+                ys_r.append(jnp.where(active, mr / kf, 0.0))
+                ys_i.append(jnp.where(active, mi / kf, 0.0))
+                valids.append(active.astype(jnp.float32))
             (b, bf, tau, tau_d, rate, delta, dec, pv) = state
 
             # end-of-sample wrap (symsync.rs:261-263)
@@ -274,23 +289,28 @@ class Symsync:
             bf = bf - self.npfb
             b = b - self.npfb
 
-            y_step = jnp.stack(ys, axis=-1)  # [..., MAX_EMIT]
-            v_step = jnp.stack(valids, axis=-1)
-            return (b, bf, tau, tau_d, rate, delta, dec, pv), (y_step, v_step)
+            # ONE f32 ys array: [..., 3E] = [re slots | im slots | valid slots]
+            packed = jnp.stack(ys_r + ys_i + valids, axis=-1)
+            return (b, bf, tau, tau_d, rate, delta, dec, pv), packed
 
         carry0 = (
             self.b, self.bf, self.tau, self.tau_decim,
             self.rate, self.delta, self.decim_counter, self.pll_v,
         )
-        carry, (yt, vt) = jax.lax.scan(step, carry0, (mft, dmft), unroll=8)
+        carry, packed = jax.lax.scan(
+            step, carry0, (mft_r, mft_i, dmft_r, dmft_i), unroll=8
+        )
         (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
 
         new = self.replace(
             window=xa[..., n:], b=b, bf=bf, tau=tau, tau_decim=tau_d,
             rate=rate, delta=delta, decim_counter=dec, pll_v=pv,
         )
-        y_slots = jnp.moveaxis(yt, 0, -2)  # [..., N, MAX_EMIT]
-        v_slots = jnp.moveaxis(vt, 0, -2)
+        packed = jnp.moveaxis(packed, 0, -2)  # [..., N, 3E]
+        y_slots = jax.lax.complex(packed[..., :E], packed[..., E : 2 * E])
+        if not jnp.issubdtype(jnp.dtype(self.window.dtype), jnp.complexfloating):
+            y_slots = packed[..., :E]
+        v_slots = packed[..., 2 * E :] > 0.5
         return y_slots, v_slots, new
 
     def execute(self, x) -> tuple[jnp.ndarray, jnp.ndarray, "Symsync"]:

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Planar", "planarize", "unplanarize", "planar", "planar_jit"]
+__all__ = ["Planar", "planarize", "unplanarize", "planar", "planar_jit",
+           "planar_scan"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -102,3 +103,143 @@ def planar(f):
 def planar_jit(f, **jit_kwargs):
     """``jax.jit`` with planar complex boundaries (TPU-safe)."""
     return jax.jit(planar(f), **jit_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Feedback-scan boundary rules (measured on the production TPU toolchain,
+# kernels/ROOFLINE.md): a lax.scan whose xs, ys, or carry contains complex
+# leaves, whose ys contains bool/int leaves, or whose ys is a TUPLE of
+# arrays, executes >1000x slower than the same scan with planar-f32
+# boundaries and ONE packed f32 ys array. planar_scan() enforces the rules
+# mechanically for any body.
+# ---------------------------------------------------------------------------
+
+
+def _encode_boundary(tree):
+    """complex → Planar pairs, bool → int32 (for carry / xs)."""
+
+    def enc(x):
+        if _is_complex_leaf(x):
+            return Planar(jnp.real(x), jnp.imag(x))
+        if getattr(x, "dtype", None) == jnp.bool_:
+            return _BoolInt(x.astype(jnp.int32))
+        return x
+
+    return jax.tree_util.tree_map(enc, tree)
+
+
+def _decode_boundary(tree):
+    def dec(n):
+        if isinstance(n, Planar):
+            return jax.lax.complex(jnp.asarray(n.re), jnp.asarray(n.im))
+        if isinstance(n, _BoolInt):
+            return n.v != 0
+        return n
+
+    return jax.tree_util.tree_map(
+        dec, tree, is_leaf=lambda n: isinstance(n, (Planar, _BoolInt))
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+class _BoolInt:
+    """A bool leaf carried across a scan boundary as int32."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def tree_flatten(self):
+        return (self.v,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def _pack_ys(tree):
+    """Flatten a ys pytree into ONE f32 vector per step + recovery spec."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    parts = []
+    spec = []
+    for leaf in leaves:
+        leaf = jnp.asarray(leaf)
+        dt = leaf.dtype
+        if jnp.issubdtype(dt, jnp.complexfloating):
+            parts.append(jnp.real(leaf).reshape(-1))
+            parts.append(jnp.imag(leaf).reshape(-1))
+            spec.append(("c", leaf.shape, leaf.size))
+        elif dt == jnp.bool_:
+            parts.append(leaf.astype(jnp.float32).reshape(-1))
+            spec.append(("b", leaf.shape, leaf.size))
+        elif jnp.issubdtype(dt, jnp.integer):
+            # bitcast keeps 32-bit ints exact through the f32 channel
+            parts.append(
+                jax.lax.bitcast_convert_type(
+                    leaf.astype(jnp.int32), jnp.float32
+                ).reshape(-1)
+            )
+            spec.append(("i", leaf.shape, leaf.size, dt))
+        else:
+            parts.append(leaf.astype(jnp.float32).reshape(-1))
+            spec.append(("f", leaf.shape, leaf.size, dt))
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.float32), (
+        treedef,
+        spec,
+    )
+
+
+def _unpack_ys(packed, recover):
+    """Inverse of :func:`_pack_ys` over the stacked [T, K] scan output."""
+    treedef, spec = recover
+    T = packed.shape[0]
+    leaves = []
+    off = 0
+    for entry in spec:
+        kind, shape, size = entry[0], entry[1], entry[2]
+        if kind == "c":
+            re = packed[:, off : off + size].reshape((T,) + shape)
+            im = packed[:, off + size : off + 2 * size].reshape((T,) + shape)
+            leaves.append(jax.lax.complex(re, im))
+            off += 2 * size
+        elif kind == "b":
+            leaves.append(packed[:, off : off + size].reshape((T,) + shape) > 0.5)
+            off += size
+        elif kind == "i":
+            v = jax.lax.bitcast_convert_type(
+                packed[:, off : off + size], jnp.int32
+            ).astype(entry[3])
+            leaves.append(v.reshape((T,) + shape))
+            off += size
+        else:
+            leaves.append(
+                packed[:, off : off + size].reshape((T,) + shape).astype(entry[3])
+            )
+            off += size
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def planar_scan(f, init, xs, *, unroll: int = 1, reverse: bool = False):
+    """``jax.lax.scan`` with TPU-safe boundary dtypes (see module rules).
+
+    ``f(carry, x) -> (carry, ys)`` sees ordinary complex/bool values; the
+    scan itself only ever carries planar f32 / int32 leaves and emits one
+    packed f32 ys array per step.
+    """
+    recover = []
+
+    def body(carry_e, x_e):
+        carry, x = _decode_boundary((carry_e, x_e))
+        carry2, ys = f(carry, x)
+        packed, rec = _pack_ys(ys)
+        if not recover:
+            recover.append(rec)
+        return _encode_boundary(carry2), packed
+
+    carry_e, packed = jax.lax.scan(
+        body, _encode_boundary(init), _encode_boundary(xs),
+        unroll=unroll, reverse=reverse,
+    )
+    ys = _unpack_ys(packed, recover[0]) if recover else None
+    return _decode_boundary(carry_e), ys

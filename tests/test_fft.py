@@ -237,7 +237,7 @@ class TestSpgramReferenceScenarios:
         "kbd": (800, 0, 0, WindowType.KBD),
     }
 
-    @autotest(param_map={f"-{k}]": f"spgramcf_noise_{k}" for k in _NOISE})
+    @autotest(param_map={f"[{k}]": f"spgramcf_noise_{k}" for k in _NOISE})
     @pytest.mark.parametrize("case", sorted(_NOISE))
     def test_noise(self, case):
         nfft, wlen, delay, wtype = self._NOISE[case]
@@ -258,7 +258,7 @@ class TestSpgramReferenceScenarios:
         "05": (640, WindowType.HAMMING, 0.1, -3.0),
     }
 
-    @autotest(param_map={f"-{k}]": f"spgramcf_signal_{k}" for k in _SIGNAL})
+    @autotest(param_map={f"[{k}]": f"spgramcf_signal_{k}" for k in _SIGNAL})
     @pytest.mark.parametrize("case", sorted(_SIGNAL))
     def test_signal(self, case):
         """QPSK stream mixed to fc + noise → PSD regions (spgram.rs:437-467)."""

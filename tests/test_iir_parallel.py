@@ -128,3 +128,18 @@ class TestParallelIir:
         y_seq, _ = f_seq.execute_block(jnp.asarray(x))
         y_par, _ = f_par.execute_block(jnp.asarray(x))
         assert _rel(y_seq, y_par) < 1e-4
+
+    def test_biquad_poles_at_0p99_parity(self):
+        """Near-unit-circle poles (r=0.99): parallel companion path stays
+        within fp32 tolerance of the sequential scan (advisor r2 guard,
+        filter/_linrec.py numerical-guard note)."""
+        r, w = 0.99, 0.3
+        a = np.array([1.0, -2 * r * np.cos(w), r * r], dtype=np.float32)
+        b = np.array([1.0, 0.0, 0.0], dtype=np.float32)
+        f_seq = IirFilter.create(b, a)
+        f_par = f_seq.parallelize()
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal(4096).astype(np.float32)
+        y_seq, _ = f_seq.execute_block(jnp.asarray(x))
+        y_par, _ = f_par.execute_block(jnp.asarray(x))
+        assert _rel(y_seq, y_par) < 5e-4

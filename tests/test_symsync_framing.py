@@ -201,7 +201,7 @@ class TestSymStreamDelayScenarios:
            "12": (5, 12), "13": (6, 12), "14": (7, 12), "15": (8, 12),
            "16": (9, 12), "17": (10, 12), "18": (11, 12), "19": (12, 12)}
 
-    @autotest(param_map={f"cf-{k}]": f"symstreamcf_delay_{k}" for k in _CF})
+    @autotest(param_map={f"[cf-{k}]": f"symstreamcf_delay_{k}" for k in _CF})
     @pytest.mark.parametrize("case", sorted(_CF), ids=[f"cf-{k}" for k in sorted(_CF)])
     def test_symstream_delay(self, case):
         k, m = self._CF[case]
@@ -219,7 +219,7 @@ class TestSymStreamDelayScenarios:
             "15": (0.300, 12), "16": (0.200, 12), "17": (0.100, 12),
             "18": (0.050, 12), "19": (0.025, 12)}
 
-    @autotest(param_map={f"rcf-{k}]": f"symstreamrcf_delay_{k}" for k in _RCF})
+    @autotest(param_map={f"[rcf-{k}]": f"symstreamrcf_delay_{k}" for k in _RCF})
     @pytest.mark.parametrize("case", sorted(_RCF), ids=[f"rcf-{k}" for k in sorted(_RCF)])
     def test_symstreamr_delay(self, case):
         """Group delay via passband phase slope of the impulse response

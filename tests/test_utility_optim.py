@@ -255,13 +255,13 @@ class TestQs1dSearch:
         "13": (-0.1, 15.0, True),
     }
 
-    @autotest(param_map={f"min-{k}": f"qs1dsearch_min_{k}" for k in _SCEN})
+    @autotest(param_map={f"[min-{k}]": f"qs1dsearch_min_{k}" for k in _SCEN})
     @pytest.mark.parametrize("sid", sorted(_SCEN), ids=[f"min-{k}" for k in sorted(_SCEN)])
     def test_min(self, sid):
         lo, hi, bounded = self._SCEN[sid]
         self._run(OptimDirection.MINIMIZE, 0.0, lo, hi, bounded)
 
-    @autotest(param_map={f"max-{k}": f"qs1dsearch_max_{k}" for k in _SCEN})
+    @autotest(param_map={f"[max-{k}]": f"qs1dsearch_max_{k}" for k in _SCEN})
     @pytest.mark.parametrize("sid", sorted(_SCEN), ids=[f"max-{k}" for k in sorted(_SCEN)])
     def test_max(self, sid):
         lo, hi, bounded = self._SCEN[sid]

@@ -18,9 +18,11 @@ def pytest_collection_finish(session):
             emitted = False
             if param_map:
                 callspec = getattr(item, "callspec", None)
-                pid = callspec.id if callspec is not None else ""
+                # match keys against the bracketed param id ("[dpsk2]") so a
+                # key "[psk2]" cannot alias into "[dpsk2]"
+                probe = f"[{callspec.id}]" if callspec is not None else ""
                 for key, name in param_map.items():
-                    if key in pid:
+                    if key in probe:
                         print(f"!! autotest: {name} -> {item.nodeid} !!")
                         emitted = True
             if names:

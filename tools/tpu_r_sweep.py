@@ -86,7 +86,10 @@ def main() -> int:
             results[f"r{r}"] = round(best, 1)
             print(f"r={r}: {best:.0f} Msps", file=sys.stderr, flush=True)
         except Exception as e:
-            results[f"r{r}"] = f"FAIL {str(e)[:80]}"
+            msg = str(e)
+            token = ("FAIL: compiler-crash" if "remote_compile" in msg or "INTERNAL" in msg
+                     else "FAIL: " + type(e).__name__)
+            results[f"r{r}"] = token
             print(f"r={r}: FAIL {str(e)[:100]}", file=sys.stderr, flush=True)
     pathlib.Path("R_SWEEP.json").write_text(json.dumps(results, indent=1))
     print("wrote R_SWEEP.json", file=sys.stderr)

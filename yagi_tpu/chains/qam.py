@@ -63,6 +63,10 @@ class QamRx:
     sym_phase: jnp.ndarray = struct.field()  # int32 mod k_eq
     evm_accum: jnp.ndarray = struct.field()
     evm_count: jnp.ndarray = struct.field()
+    # symsync outputs beyond the equalizer-scan capacity ever dropped
+    # (should stay 0; nonzero flags a sustained timing-rate transient
+    # exceeding the 25% headroom — see step())
+    overflow_count: jnp.ndarray = struct.field()
 
     @classmethod
     def create(
@@ -111,6 +115,7 @@ class QamRx:
             sym_phase=jnp.full(batch_shape, (-((eq_len - 1) // 2)) % 2, jnp.int32),
             evm_accum=z,
             evm_count=z,
+            overflow_count=jnp.zeros(batch_shape, dtype=jnp.int32),
         )
 
     def reset(self) -> "QamRx":
@@ -126,6 +131,7 @@ class QamRx:
             ),
             evm_accum=z,
             evm_count=z,
+            overflow_count=jnp.zeros_like(self.overflow_count),
         )
 
     def set_bandwidth(self, pll_bw: float) -> "QamRx":
@@ -145,8 +151,12 @@ class QamRx:
 
         Returns ``(syms, soft, num_syms, chain)``: ``syms`` (uint32) and
         ``soft`` (complex, carrier-corrected equalizer output) have capacity
-        ``2 * capacity(symsync)`` entries compacted to the front;
-        ``num_syms`` counts the valid ones.
+        ``n + n//4 + 16`` entries compacted to the front (the equalizer scan
+        runs over that capped capacity, NOT the symsync's full ``4·n``
+        theoretical capacity); ``num_syms`` counts the valid ones. Any
+        symsync output beyond the cap is dropped and counted in
+        ``chain.overflow_count`` — nonzero only if the timing loop's output
+        rate exceeds nominal by >25% for a sustained stretch.
         """
         x = jnp.asarray(x)
         n = x.shape[-1]
@@ -155,9 +165,10 @@ class QamRx:
         # the symsync buffer is front-compacted with capacity 4·n, but the
         # loop's long-run output rate is k_out/k ≤ 1 per input — scanning the
         # whole capacity wastes 3/4 of the equalizer scan. Keep 25% headroom
-        # for rate transients.
+        # for rate transients and surface any drop via overflow_count.
         cap = min(y1.shape[-1], n + n // 4 + 16)
         y1 = y1[..., :cap]
+        overflow = jnp.maximum(n1 - cap, 0)
         n1 = jnp.minimum(n1, cap)
         valid = jnp.arange(cap) < n1[..., None] if n1.ndim else jnp.arange(cap) < n1
 
@@ -231,6 +242,7 @@ class QamRx:
         new = self.replace(
             agc=agc, symsync=ss, eq=eq, theta=theta, dtheta=dtheta,
             sym_phase=sph, evm_accum=eacc, evm_count=ecnt,
+            overflow_count=self.overflow_count + overflow,
         )
         return syms, soft, num_syms, new
 

@@ -21,7 +21,12 @@ def result_dtype(x_dtype, h_dtype):
 
 
 _ROW = 128  # TPU lane width: output samples per banded-matmul row
-_MM_MAX_TAPS = 1024  # beyond this, FftFilt (overlap-add) is the right tool
+# Beyond this, FftFilt (overlap-add) is the right tool. Note the banded form
+# materializes the window tensor F at nband ≈ ceil(L/128)+1 times the input
+# size (~9x for L near the cutoff); if VMEM/HBM working-set pressure shows
+# up for very long stride-1 FIRs on large blocks, lower this cutoff or route
+# L > ~256 through FftFilt instead (advisor r2 note).
+_MM_MAX_TAPS = 1024
 
 
 def _banded_matmul_conv(xa: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:

@@ -16,6 +16,17 @@ applied afterwards as m+1 shifted adds on the v0 sequence.
 Outputs match the sequential scan to fp32 tolerance (exact same recurrence,
 different summation order); the sequential path remains the default for
 bit-compatibility and is the oracle in tests/test_iir_parallel.py.
+
+Numerical guard (advisor round 2): the general-order path forms cumulative
+companion-matrix products Mⁿ. For NORMAL/near-normal M with pole radius
+r < 1 these stay bounded, but TF-form filters of order > 2 can have highly
+non-normal companion matrices whose transients ‖Mⁿ‖ grow to ~κ·rⁿ with large
+κ before decaying — fp32 can overflow or lose the answer where the
+sequential scan would not. Callers should keep this path to order ≤ 2 (the
+SOS pipeline guarantees that) or verify pole radius ≲ 0.99 at design time;
+tests/test_iir_parallel.py includes an r=0.99 biquad parity case bounding
+the error empirically. iir_design output is always SOS-cascaded biquads, so
+the production path never composes higher-order companions.
 """
 
 from __future__ import annotations

@@ -343,6 +343,15 @@ class Modem:
     def demodulate(self, x) -> tuple[jnp.ndarray, "Modem"]:
         """Hard-decision demod of a block (modem.rs:255)."""
         x = jnp.asarray(x)
+        if self.scheme in _DIFFERENTIAL or self.scheme == ModulationScheme.PI4DQPSK:
+            sym, _, new = self._demodulate_diff_full(x)
+            return sym, new
+        sym = self._nearest(x)
+        x_hat = jnp.take(self.table, sym, axis=0)
+        return sym, self.replace(r=x[..., -1], x_hat=x_hat[..., -1])
+
+    def _demodulate_diff_full(self, x):
+        """Differential demod returning the per-sample ideal x̂ sequence."""
         if self.scheme == ModulationScheme.PI4DQPSK:
             theta = jnp.angle(x)
             prev = jnp.concatenate([self.phi[..., None], theta[..., :-1]], axis=-1)
@@ -355,10 +364,10 @@ class Modem:
                 jnp.asarray([0.25, 0.75, -0.25, -0.75]) * np.pi, sym, axis=0
             )
             x_hat = jnp.exp(1j * (prev + ideal)).astype(jnp.complex64)
-            return sym, self.replace(
+            return sym, x_hat, self.replace(
                 phi=theta[..., -1], r=x[..., -1], x_hat=x_hat[..., -1]
             )
-        if self.scheme in _DIFFERENTIAL:  # DPSK
+        if True:  # DPSK (only remaining differential scheme here)
             M = self.constellation_size
             alpha = np.pi / M
             d_phi_off = np.pi * (1.0 - 1.0 / M)
@@ -373,21 +382,23 @@ class Modem:
             sym = jnp.asarray(gray_encode(np.arange(M)), dtype=jnp.uint32)[s]
             res = (d_theta + d_phi_off) - s.astype(jnp.float32) * 2 * alpha
             x_hat = jnp.exp(1j * (theta - res)).astype(jnp.complex64)
-            return sym, self.replace(
+            return sym, x_hat, self.replace(
                 phi=theta[..., -1], r=x[..., -1], x_hat=x_hat[..., -1]
             )
 
-        sym = self._nearest(x)
-        x_hat = jnp.take(self.table, sym, axis=0)
-        return sym, self.replace(r=x[..., -1], x_hat=x_hat[..., -1])
-
     def demodulate_with_stats(self, x):
-        """(symbols, x_hat, phase_error, evm) per sample (modem.rs:277-283)."""
+        """(symbols, x_hat, phase_error, evm) per sample (modem.rs:277-283).
+
+        Differential schemes use the reconstructed per-sample ideal point
+        (unit modulus at the decided differential angle), matching the
+        reference's carried r/x_hat stats.
+        """
         x = jnp.asarray(x)
-        sym, new_self = self.demodulate(x)
-        if self.scheme in _DIFFERENTIAL:
-            raise ConfigError("per-sample stats for differential schemes not supported")
-        x_hat = jnp.take(self.table, sym, axis=0)
+        if self.scheme in _DIFFERENTIAL or self.scheme == ModulationScheme.PI4DQPSK:
+            sym, x_hat, new_self = self._demodulate_diff_full(x)
+        else:
+            sym, new_self = self.demodulate(x)
+            x_hat = jnp.take(self.table, sym, axis=0)
         phase_error = (x * jnp.conj(x_hat)).imag
         evm = jnp.abs(x_hat - x)
         return sym, x_hat, phase_error, evm, new_self
@@ -458,9 +469,14 @@ class Modem:
         dmin1 = jnp.minimum(dmin1, dn1)
         dmin0 = jnp.minimum(dmin0, dn0)
 
-        soft = jnp.clip((dmin0 - dmin1) * gamma * 16.0 + 127.0, 0, 255).astype(
-            jnp.uint8
-        )
+        # round-to-nearest (NOT the reference's truncating cast,
+        # modem.rs:358-360): for dense constellations (ask256) the LSB
+        # confidence is ~0.9 quantum, which truncation collapses onto the
+        # erasure value 127 and pack_soft_bits then mis-decodes — rounding
+        # keeps any positive LLR strictly above erasure
+        soft = jnp.round(
+            jnp.clip((dmin0 - dmin1) * gamma * 16.0 + 127.0, 0, 255)
+        ).astype(jnp.uint8)
         return sym, soft, new_self
 
     # -------------------------------------------------------------- sources

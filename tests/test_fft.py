@@ -28,6 +28,12 @@ def golden():
     return load("fft")
 
 
+_FFT_AUTOTEST_SIZES = [2, 4, 8, 16, 32, 64, 10, 21, 22, 24, 26, 30, 35, 36,
+                       48, 63, 92, 96, 120, 130, 192, 17, 43, 79, 157, 317,
+                       509, 3, 5, 6, 7, 9]
+
+
+@autotest(param_map={f"[{n}]": f"fft_{n}" for n in _FFT_AUTOTEST_SIZES})
 @pytest.mark.parametrize("n", FFT_SIZES)
 def test_fft_golden(golden, n):
     key_x, key_y = f"FFT_TEST_X{n}", f"FFT_TEST_Y{n}"

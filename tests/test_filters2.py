@@ -5,8 +5,10 @@ resamplers, Hilbert transforms, fractional delay, ordfilt, LPC.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu.errors import ConfigError
 from yagi_tpu.filter import (
     Fdelay,
@@ -30,6 +32,10 @@ from golden_util import load
 
 
 class TestFftFilt:
+    @autotest(param_map={
+        f"[{c}-{v}]": f"fftfilt_{v.lower()}_data_{c.lower()}"
+        for v in ("RRRF", "CRCF", "CCCF")
+        for c in ("H4X256", "H7X256", "H13X256", "H23X256")})
     @pytest.mark.parametrize("variant", ["RRRF", "CRCF", "CCCF"])
     @pytest.mark.parametrize("case", ["H4X256", "H7X256", "H13X256", "H23X256"])
     def test_golden(self, variant, case):
@@ -79,6 +85,7 @@ class TestFftFilt:
             np.concatenate(ys), np.asarray(y2), rtol=1e-5, atol=1e-5
         )
 
+    @autotest("fftfilt_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             FftFilt.create(np.zeros(0), 64)
@@ -400,3 +407,91 @@ class TestFdelayOrdLpc:
         R = np.array([[2.0, 1.0, 0.5], [1.0, 2.0, 1.0], [0.5, 1.0, 2.0]])
         v = R @ a
         np.testing.assert_allclose(v[1:], 0.0, atol=1e-6)
+
+
+class TestRresampReferenceScenarios:
+    """The reference's 18 rresamp_crcf autotests (rresamp.rs:262-395):
+    QPSK stream resampled by P/Q, output PSD against in-band/stopband
+    masks; shortened runs (~100k output samples vs 800k) with the same
+    masks and a slightly widened tolerance."""
+
+    _CASES = {
+        "baseline_P1_Q5": ("baseline", 1, 5, 15, -1.0, 60.0),
+        "baseline_P2_Q5": ("baseline", 2, 5, 15, -1.0, 60.0),
+        "baseline_P3_Q5": ("baseline", 3, 5, 15, -1.0, 60.0),
+        "baseline_P6_Q5": ("baseline", 6, 5, 15, -1.0, 60.0),
+        "baseline_P8_Q5": ("baseline", 8, 5, 15, -1.0, 60.0),
+        "baseline_P9_Q5": ("baseline", 9, 5, 15, -1.0, 60.0),
+        "default_P1_Q5": ("default", 1, 5, 12, -1.0, 60.0),
+        "default_P2_Q5": ("default", 2, 5, 12, -1.0, 60.0),
+        "default_P3_Q5": ("default", 3, 5, 12, -1.0, 60.0),
+        "default_P6_Q5": ("default", 6, 5, 12, -1.0, 60.0),
+        "default_P8_Q5": ("default", 8, 5, 12, -1.0, 60.0),
+        "default_P9_Q5": ("default", 9, 5, 12, -1.0, 60.0),
+        "arkaiser_P3_Q5": ("arkaiser", 3, 5, 40, 0.2, 50.0),
+        "arkaiser_P5_Q3": ("arkaiser", 5, 3, 40, 0.2, 50.0),
+        "rrcos_P3_Q5": ("rrcos", 3, 5, 40, 0.2, 50.0),
+        "rrcos_P5_Q3": ("rrcos", 5, 3, 40, 0.2, 50.0),
+    }
+
+    @autotest(param_map={f"[{k}]": f"rresamp_crcf_{k}" for k in _CASES})
+    @pytest.mark.parametrize("case", sorted(_CASES))
+    def test_psd(self, case):
+        from yagi_tpu import fft as yfft
+        from yagi_tpu.design import FirFilterShape
+        from yagi_tpu.framing import SymStreamR
+        from yagi_tpu.math.windows import WindowType
+        from yagi_tpu.utils import validate_psd_spectrum
+
+        method, P, Q, m, bwp, as_ = self._CASES[case]
+        if method == "baseline":
+            rs = Rresamp.create_kaiser(P, Q, m, bwp, as_)
+        elif method == "default":
+            rs = Rresamp.create_default(P, Q)
+        else:
+            rs = Rresamp.create_prototype(
+                FirFilterShape.from_str(method), P, Q, m, bwp)
+        r = rs.get_rate()
+        bw, nfft, tol = 0.2, 800, 0.7
+        sp = yfft.Spgram.create(nfft, WindowType.HANN, nfft // 2, nfft // 4)
+        gen = SymStreamR(FirFilterShape.KAISER, r * bw, 25, 0.2, "qpsk")
+        gen.set_gain(np.sqrt(bw * r))
+        n_out_target = 100_000
+        blk_q = 400 * Q
+        while int(sp.num_samples_total) < n_out_target:
+            xin = gen.write_samples(blk_q).astype(np.complex64)
+            y, rs = rs.execute_block(jnp.asarray(xin))
+            sp = sp.write(y)
+        psd = np.asarray(sp.get_psd())
+        regions = [
+            PsdRegion(-0.5, -0.6 * bw, 0.0, -as_ + tol, False, True),
+            PsdRegion(-0.4 * bw, 0.4 * bw, -tol, tol, True, True),
+            PsdRegion(0.6 * bw, 0.5, 0.0, -as_ + tol, False, True),
+        ]
+        assert validate_psd_spectrum(psd, nfft, regions), case
+
+    @autotest("rresamp_copy")
+    def test_copy(self):
+        rng = np.random.default_rng(3)
+        q0 = Rresamp.create_kaiser(3, 5, m=9)
+        x = (rng.normal(size=(40,)) + 1j * rng.normal(size=40)).astype(np.complex64)
+        _, q0 = q0.execute_block(jnp.asarray(x))
+        q1 = jax.tree_util.tree_map(lambda v: v, q0)
+        x2 = (rng.normal(size=40) + 1j * rng.normal(size=40)).astype(np.complex64)
+        y0, q0 = q0.execute_block(jnp.asarray(x2))
+        y1, q1 = q1.execute_block(jnp.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    @autotest("rresamp_config")
+    def test_config(self):
+        with pytest.raises(ConfigError):
+            Rresamp.create_kaiser(0, 5)
+        with pytest.raises(ConfigError):
+            Rresamp.create_kaiser(5, 0)
+        with pytest.raises(ConfigError):
+            Rresamp.create(3, 5, 0, np.ones(6, np.float32))
+        q = Rresamp.create_kaiser(6, 4, m=9)
+        assert q.get_interp() == 3 and q.get_decim() == 2  # gcd-reduced
+        assert q.get_block_len() == 2
+        assert q.get_p() == 6 and q.get_q() == 4
+        assert q.get_rate() == pytest.approx(1.5)

@@ -12,6 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu.design import FirFilterShape
 from yagi_tpu.errors import ConfigError
 from yagi_tpu.filter import (
@@ -27,6 +28,9 @@ TOL = 2e-3  # reference uses ~1e-3..4e-3 depending on case
 
 
 class TestFirFiltGolden:
+    @autotest(param_map={f"[{c}-{v}]": f"firfilt_{v.lower()}_data_{c.lower()}"
+                         for v in ("RRRF", "CRCF", "CCCF")
+                         for c in ("H4X8", "H7X16", "H13X32", "H23X64")})
     @pytest.mark.parametrize("variant", ["RRRF", "CRCF", "CCCF"])
     @pytest.mark.parametrize("case", ["H4X8", "H7X16", "H13X32", "H23X64"])
     def test_golden(self, variant, case):
@@ -226,6 +230,11 @@ class TestFirInterp:
 
 
 class TestFirDecimGolden:
+    @autotest(param_map={
+        f"[{c}-{m}-{v}]": f"firdecim_{v.lower()}_data_M{c[1:].lower()}"
+        for v in ("RRRF", "CRCF", "CCCF")
+        for c, m in (("M2H4X20", 2), ("M3H7X30", 3), ("M4H13X40", 4),
+                     ("M5H23X50", 5))})
     @pytest.mark.parametrize("variant", ["RRRF", "CRCF", "CCCF"])
     @pytest.mark.parametrize(
         "case,mfac", [("M2H4X20", 2), ("M3H7X30", 3), ("M4H13X40", 4), ("M5H23X50", 5)]

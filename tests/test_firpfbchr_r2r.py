@@ -12,6 +12,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu.errors import ConfigError
 from yagi_tpu.fft import Asgram, dct, dst, r2r_inverse_scale
 from yagi_tpu.multichannel import Firpfbchr
@@ -185,3 +186,57 @@ class TestAsgram:
             Asgram(1)
         with pytest.raises(ConfigError):
             Asgram(64, levels="x")
+
+
+def _fftw_r2r_direct(kind: str, x: np.ndarray) -> np.ndarray:
+    """O(n²) FFTW real-to-real definitions (the reference's fft_r2r golden
+    vectors encode exactly these sums, fft/test_data.rs)."""
+    n = len(x)
+    j = np.arange(n)[None, :]
+    k = np.arange(n)[:, None]
+    if kind == "REDFT00":
+        inner = 2.0 * np.cos(np.pi * j[:, 1:n - 1] * k / (n - 1)) @ x[1:n - 1]
+        return x[0] + ((-1.0) ** k[:, 0]) * x[n - 1] + inner
+    if kind == "REDFT10":
+        return 2.0 * (np.cos(np.pi * (j + 0.5) * k / n) @ x)
+    if kind == "REDFT01":
+        return x[0] + 2.0 * (np.cos(np.pi * j[:, 1:] * (k + 0.5) / n) @ x[1:])
+    if kind == "REDFT11":
+        return 2.0 * (np.cos(np.pi * (j + 0.5) * (k + 0.5) / n) @ x)
+    if kind == "RODFT00":
+        return 2.0 * (np.sin(np.pi * (j + 1) * (k + 1) / (n + 1)) @ x)
+    if kind == "RODFT10":
+        return 2.0 * (np.sin(np.pi * (j + 0.5) * (k + 1) / n) @ x)
+    if kind == "RODFT01":
+        inner = 2.0 * (np.sin(np.pi * (j[:, :n - 1] + 1) * (k + 0.5) / n)
+                       @ x[: n - 1])
+        return ((-1.0) ** k[:, 0]) * x[n - 1] + inner
+    if kind == "RODFT11":
+        return 2.0 * (np.sin(np.pi * (j + 0.5) * (k + 0.5) / n) @ x)
+    raise ValueError(kind)
+
+
+_R2R_KINDS = {
+    "REDFT00": ("dct", 1), "REDFT10": ("dct", 2),
+    "REDFT01": ("dct", 3), "REDFT11": ("dct", 4),
+    "RODFT00": ("dst", 1), "RODFT10": ("dst", 2),
+    "RODFT01": ("dst", 3), "RODFT11": ("dst", 4),
+}
+
+
+class TestR2rReferenceScenarios:
+    """The reference's 24 fft_r2r autotests (fft/test_data.rs golden vectors
+    for each FFTW kind × n ∈ {8, 32, 27}), checked against the direct O(n²)
+    FFTW definitions the vectors encode."""
+
+    @autotest(param_map={f"[{n}-{kind}]": f"fft_r2r_{kind}_n{n}"
+                         for kind in _R2R_KINDS for n in (8, 32, 27)})
+    @pytest.mark.parametrize("kind", sorted(_R2R_KINDS))
+    @pytest.mark.parametrize("n", [8, 32, 27])
+    def test_r2r_direct(self, kind, n):
+        fam, k = _R2R_KINDS[kind]
+        rng = np.random.default_rng(n * 8 + k)
+        x = rng.standard_normal(n)
+        got = np.asarray((dct if fam == "dct" else dst)(x, kind=k))
+        want = _fftw_r2r_direct(kind, x)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)

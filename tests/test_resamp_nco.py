@@ -13,6 +13,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu.errors import ConfigError
 from yagi_tpu.filter import Resamp
 from yagi_tpu.filter.firpfb import pfb_decompose
@@ -275,3 +276,78 @@ class TestOsc:
     def test_invalid_mode(self):
         with pytest.raises(ConfigError):
             Osc.create("sideways")
+
+
+class TestResampReferenceScenarios:
+    """The reference's 17 resamp_crcf autotests (resamp.rs:174-345):
+    kaiser-pulse resampling against PSD masks (8 rate/attenuation combos)
+    and exact get_num_output bookkeeping over irregular block sizes."""
+
+    _PSD = {
+        "00": (0.127115323, 60.0), "01": (0.373737373, 60.0),
+        "02": (0.676543210, 60.0), "03": (0.973621947, 60.0),
+        "10": (0.127115323, 80.0), "11": (0.373737373, 80.0),
+        "12": (0.676543210, 80.0), "13": (0.973621947, 80.0),
+    }
+
+    @autotest(param_map={f"[psd-{k}]": f"resamp_crcf_{k}" for k in _PSD})
+    @pytest.mark.parametrize("case", sorted(_PSD), ids=[f"psd-{k}" for k in sorted(_PSD)])
+    def test_psd(self, case):
+        from yagi_tpu import design
+        from yagi_tpu.utils import PsdRegion, validate_psd_signal
+
+        r, as_db = self._PSD[case]
+        bw, tol, m, npfb, fc = 0.25, 0.6, 20, 2048, 0.45
+        rs = Resamp.create(r, m=m, fc=fc, as_=as_db, npfb=npfb)
+        p = int(40.0 / r)
+        pulse_len = 4 * p + 1
+        pulse = design.fir_design_kaiser(pulse_len, 0.5 * r * bw, 120.0, 0.0)
+        num_input = pulse_len + 2 * m + 1
+        x = np.zeros(num_input, dtype=np.complex64)
+        x[:pulse_len] = pulse * bw
+        y, nw, _ = rs.execute_block(jnp.asarray(x))
+        y = np.asarray(y)[: int(nw)]
+        regions = [
+            PsdRegion(-0.5, -0.6 * bw, 0.0, -as_db + tol, False, True),
+            PsdRegion(-0.4 * bw, 0.4 * bw, -tol, tol, True, True),
+            PsdRegion(0.6 * bw, 0.5, 0.0, -as_db + tol, False, True),
+        ]
+        assert validate_psd_signal(y, regions), case
+
+    _NUMOUT = {
+        "0": (1.00, 64), "1": (1.00, 256), "2": (0.50, 256),
+        "3": (float(np.sqrt(2.0)), 256), "4": (float(np.sqrt(17.0)), 16),
+        "5": (float(1.0 / np.pi), 64), "6": (float(np.exp(5.0)), 64),
+        "7": (float(np.exp(-5.0)), 64),
+    }
+
+    @autotest(param_map={f"[no-{k}]": f"resamp_crcf_num_output_{k}"
+                         for k in _NUMOUT})
+    @pytest.mark.parametrize("case", sorted(_NUMOUT), ids=[f"no-{k}" for k in sorted(_NUMOUT)])
+    def test_num_output(self, case):
+        """get_num_output == actual emissions over irregular block sizes
+        (resamp.rs:298-345), covering both the static-schedule fast path
+        (rate 1.0) and the u32 gather path (irrational rates)."""
+        rate, npfb = self._NUMOUT[case]
+        rs = Resamp.create(rate, m=20, fc=0.4, as_=60.0, npfb=npfb)
+        sizes = [1, 2, 3, 20, 7, 64, 4, 4, 4, 27]
+        for _ in range(8):
+            for n in sizes:
+                expect = rs.get_num_output(n)
+                _, k, rs = rs.execute_block(jnp.zeros(n, dtype=jnp.complex64))
+                assert int(k) == expect, (case, n)
+
+    @autotest("resamp_crcf_copy")
+    def test_copy(self):
+        import jax as _jax
+
+        rng = np.random.default_rng(7)
+        q0 = Resamp.create(0.7, m=5, npfb=64)
+        x = (rng.normal(size=50) + 1j * rng.normal(size=50)).astype(np.complex64)
+        _, _, q0 = q0.execute_block(jnp.asarray(x))
+        q1 = _jax.tree_util.tree_map(lambda v: v, q0)
+        x2 = (rng.normal(size=50) + 1j * rng.normal(size=50)).astype(np.complex64)
+        y0, k0, q0 = q0.execute_block(jnp.asarray(x2))
+        y1, k1, q1 = q1.execute_block(jnp.asarray(x2))
+        assert int(k0) == int(k1)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

@@ -296,3 +296,53 @@ class TestSymStreamPsdScenarios:
             PsdRegion(f1, 0.5, 0.0, -55.0, False, True),
         ]
         assert validate_psd_spectrum(psd, nfft, regions), case
+
+
+class TestMSequenceReferenceScenarios:
+    """The reference's 43 msequence autotests (msequence.rs:230-395):
+    autocorrelation via BSequence for m=2..12, period for m=2..31, config,
+    and BSequence-from-msequence init."""
+
+    @autotest(param_map={f"[xc-{m}]": f"msequence_xcorr_m{m}"
+                         for m in range(2, 13)})
+    @pytest.mark.parametrize("m", range(2, 13), ids=[f"xc-{m}" for m in range(2, 13)])
+    def test_xcorr(self, m):
+        """Aligned autocorr = n; ±1-mapped misaligned autocorr = −1."""
+        ms = MSequence.create_default(m)
+        n = ms.get_length()
+        bs1 = BSequence.from_msequence(ms)
+        bs2 = BSequence.from_msequence(ms)
+        assert bs1.get_length() == n
+        assert bs2.get_length() == n
+        assert bs1.correlate(bs2) == n
+        for _ in range(min(n - 1, 300)):  # full loop for small m; cap huge m
+            bs2.push(ms.advance())
+            rxy = 2 * bs1.correlate(bs2) - n
+            assert rxy == -1
+
+    @autotest(param_map={f"[per-{m}]": f"msequence_period_m{m}"
+                         for m in range(2, 32)})
+    @pytest.mark.parametrize("m", range(2, 32), ids=[f"per-{m}" for m in range(2, 32)])
+    def test_period(self, m):
+        q = MSequence.create_default(m)
+        assert q.measure_period() == (1 << m) - 1
+
+    @autotest("msequence_config")
+    def test_config_reference(self):
+        with pytest.raises(ConfigError):
+            MSequence(100, 0, 0)
+        with pytest.raises(ConfigError):
+            MSequence.create_default(32)
+        with pytest.raises(ConfigError):
+            MSequence.create_genpoly(0)
+        q = MSequence.create_default(11)
+        assert q.get_state() == 1
+        q.set_state(0x8A)
+        assert q.get_state() == 0x8A
+
+    @autotest("bsequence_init_msequence")
+    def test_bsequence_init(self):
+        ms = MSequence.create_default(5)
+        bs = BSequence.from_msequence(ms)
+        assert bs.get_length() == ms.get_length()
+        assert bs.correlate(bs) == bs.get_length()

@@ -102,6 +102,45 @@ def causal_conv_valid(xa: jnp.ndarray, h: jnp.ndarray, stride: int = 1) -> jnp.n
     return y.reshape(batch_shape + (n_out,))
 
 
+def multi_branch_conv_tm(xa: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:
+    """All-branch polyphase convolution, TIME-MAJOR output [..., N, M].
+
+    Same math as :func:`multi_branch_conv` but returns the banded-matmul
+    result in its NATURAL layout (output position major, branch minor) —
+    the reshape is free, so no minor-axis transpose is ever materialized.
+    This is the right form to feed time-scanned feedback loops (symsync):
+    on TPU the [..., M, N] transpose costs more than the matmul itself.
+    """
+    branches = jnp.asarray(branches)
+    M, L = branches.shape
+    out_dtype = result_dtype(xa.dtype, branches.dtype)
+    if L <= _MM_MAX_TAPS and M <= 128:
+        xa = xa.astype(out_dtype)
+        br = branches.astype(out_dtype)
+        batch_shape = xa.shape[:-1]
+        m = xa.shape[-1]
+        n_out = m - L + 1
+        nb = -(-n_out // _ROW)
+        nband = -(-(L + _ROW - 1) // _ROW)
+        K = nband * _ROW
+        total = (nb - 1) * _ROW + K
+        xp = jnp.pad(xa.reshape((-1, m)), ((0, 0), (0, total - m)))
+        x3 = xp.reshape((-1, nb - 1 + nband, _ROW))
+        f = jnp.concatenate([x3[:, d : d + nb] for d in range(nband)], axis=-1)
+        u = jnp.arange(K)[:, None, None]
+        t = jnp.arange(_ROW)[None, :, None]
+        i = jnp.arange(M)[None, None, :]
+        k = t + (L - 1) - u
+        g = jnp.where(
+            (k >= 0) & (k < L),
+            br[i, jnp.clip(k, 0, L - 1)],
+            jnp.zeros((), out_dtype),
+        ).reshape(K, _ROW * M)
+        y = jax.lax.dot_general(f, g, (((2,), (0,)), ((), ())), precision=_PREC)
+        return y.reshape(batch_shape + (nb * _ROW, M))[..., :n_out, :]
+    return jnp.swapaxes(multi_branch_conv(xa, branches), -1, -2)
+
+
 def multi_branch_conv(xa: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:
     """All-branch polyphase convolution.
 

@@ -64,6 +64,10 @@ class Rresamp:
     @classmethod
     def create_kaiser(cls, interp: int, decim: int, m: int = 12, bw: float = -1.0, as_: float = 60.0, **kw) -> "Rresamp":
         """Kaiser prototype with liquid's bandwidth/scale rules (rresamp.rs:48-71)."""
+        if interp == 0:
+            raise ConfigError("interpolation rate must be greater than zero")
+        if decim == 0:
+            raise ConfigError("decimation rate must be greater than zero")
         g = math.gcd(interp, decim)
         interp_r, decim_r = interp // g, decim // g
         if bw < 0.0:
@@ -79,6 +83,10 @@ class Rresamp:
     @classmethod
     def create_prototype(cls, ftype, interp: int, decim: int, m: int, beta: float, **kw) -> "Rresamp":
         """(root-)Nyquist prototype (rresamp.rs:73-92)."""
+        if interp == 0:
+            raise ConfigError("interpolation rate must be greater than zero")
+        if decim == 0:
+            raise ConfigError("decimation rate must be greater than zero")
         g = math.gcd(interp, decim)
         interp_r, decim_r = interp // g, decim // g
         decim_flag = interp_r < decim_r

@@ -216,18 +216,25 @@ class Symsync:
         kf = jnp.float32(self.k)
         E = _MAX_EMIT
 
-        # all-branch filterbank outputs for every input step (window after
-        # pushing x[t] is xa[..., t+1 : t+Lsub+1])
+        # All-branch filterbank outputs for every input step (window after
+        # pushing x[t] is xa[..., t+1 : t+Lsub+1]). The banks are REAL taps,
+        # so re/im planes filter independently: ONE real banded matmul over
+        # stacked planes with mf and dmf branches CONCATENATED — planar f32
+        # from the start (a complex matmul is 4 real MXU passes) and
+        # time-major from the start (multi_branch_conv_tm; the [.., M, N]
+        # minor-axis transpose costs more than the matmul on TPU).
         xa = jnp.concatenate([self.window, x], axis=-1)
-        from ._conv import multi_branch_conv
+        from ._conv import multi_branch_conv_tm
 
-        mf_all = multi_branch_conv(xa[..., 1:], self.mf)  # [..., npfb, n]
-        dmf_all = multi_branch_conv(xa[..., 1:], self.dmf)
-        # planar f32, time-major for the scan
-        mft_r = jnp.moveaxis(jnp.real(mf_all), -1, 0)  # [n, ..., npfb]
-        mft_i = jnp.moveaxis(jnp.imag(mf_all), -1, 0)
-        dmft_r = jnp.moveaxis(jnp.real(dmf_all), -1, 0)
-        dmft_i = jnp.moveaxis(jnp.imag(dmf_all), -1, 0)
+        P = self.npfb
+        planes = jnp.stack([jnp.real(xa[..., 1:]), jnp.imag(xa[..., 1:])])
+        banks = jnp.concatenate([self.mf, self.dmf], axis=0)  # [2P, Lsub]
+        # [2, ..., n, 2P] → time-major [n, 2, ..., 2P]. The barrier forces
+        # the transpose to MATERIALIZE before the scan — otherwise XLA fuses
+        # it into the loop and every iteration strides across the whole
+        # time axis (measured ~70 ms/block vs ~15 ms materialized).
+        ytm = multi_branch_conv_tm(planes, banks)
+        xs_all = jax.lax.optimization_barrier(jnp.moveaxis(ytm, -2, 0))
         pidx = jnp.arange(self.npfb, dtype=jnp.int32)
         locked_f = self.locked  # captured constant (not a scan boundary leaf)
 
@@ -240,7 +247,12 @@ class Symsync:
 
         def step(carry, inp):
             (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
-            mr_t, mi_t, dr_t, di_t = inp  # [..., npfb] f32 planes
+            # inp: [2, ..., 2P] f32 — slice the four planes in-body (keeps
+            # the scan xs ONE array; slicing a loaded block is free)
+            mr_t = inp[0, ..., :P]
+            mi_t = inp[1, ..., :P]
+            dr_t = inp[0, ..., P:]
+            di_t = inp[1, ..., P:]
 
             ys_r = []
             ys_i = []
@@ -297,9 +309,7 @@ class Symsync:
             self.b, self.bf, self.tau, self.tau_decim,
             self.rate, self.delta, self.decim_counter, self.pll_v,
         )
-        carry, packed = jax.lax.scan(
-            step, carry0, (mft_r, mft_i, dmft_r, dmft_i), unroll=8
-        )
+        carry, packed = jax.lax.scan(step, carry0, xs_all, unroll=8)
         (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
 
         new = self.replace(

@@ -67,6 +67,65 @@ class MSequence:
         self.state = ((self.state << 1) | b) & self.n
         return b
 
+    def measure_period(self) -> int:
+        """Sequence period (msequence.rs:144-158 measure_period).
+
+        Computed exactly as the multiplicative order of the GF(2)
+        state-update matrix (order divides 2^m − 1), instead of the
+        reference's step-until-repeat loop — identical result, O(m³·log)
+        instead of O(2^m) work, so period checks up to m = 31 stay fast.
+        """
+        import numpy as np
+
+        t = self.m
+        M = np.zeros((t, t), dtype=np.uint8)
+        for j in range(t):
+            M[0, j] = (self.g >> j) & 1  # feedback row: b = parity(s & g)
+        for i in range(1, t):
+            M[i, i - 1] = 1  # shift row: new bit i = old bit i-1
+
+        def matmul2(a, b):
+            return (a.astype(np.uint32) @ b.astype(np.uint32) & 1).astype(np.uint8)
+
+        def matpow2(a, e):
+            r = np.eye(t, dtype=np.uint8)
+            while e:
+                if e & 1:
+                    r = matmul2(r, a)
+                a = matmul2(a, a)
+                e >>= 1
+            return r
+
+        n = (1 << t) - 1
+        eye = np.eye(t, dtype=np.uint8)
+        if not np.array_equal(matpow2(M, n), eye):
+            # not primitive: fall back to direct cycle detection
+            a0, count = self.state, 0
+            s = a0
+            while True:
+                b = _parity(s & self.g)
+                s = ((s << 1) | b) & self.n
+                count += 1
+                if s == a0 or count > n:
+                    return count
+        # order divides n: strip prime factors while the power stays I
+        period = n
+        rem, f = n, 2
+        factors = set()
+        while f * f <= rem:
+            while rem % f == 0:
+                factors.add(f)
+                rem //= f
+            f += 1
+        if rem > 1:
+            factors.add(rem)
+        for p in factors:
+            while period % p == 0 and np.array_equal(
+                matpow2(M, period // p), eye
+            ):
+                period //= p
+        return period
+
     def generate_symbol(self, bps: int) -> int:
         """bps feedback bits packed MSB-first (msequence.rs:124-131)."""
         s = 0

@@ -41,8 +41,14 @@ def _null_latency(jax, jnp, np, reps: int = 3) -> float:
     return float(np.median(ts))
 
 
-def bench_fused_chain(jax, jnp, channels=16, block=1 << 17, n_steps=512, reps=5):
-    """Config[0] via the fused Pallas kernel. Returns (median_msps, rates)."""
+def bench_fused_chain(jax, jnp, channels=16, block=1 << 17, n_steps=512, reps=5,
+                      precision="bf16x3"):
+    """Config[0] via the fused Pallas kernel. Returns (median_msps, rates).
+
+    Production throughput mode is the documented-tolerance bf16x3 split
+    (~1e-5 rel vs fp32-HIGHEST, kernels/chain.py dot3; measured +45%
+    same-session, KERNEL_VARIANTS.json). HIGHEST is reported as a secondary.
+    """
     from yagi_tpu.chains import FusedRxChain
 
     rng = np.random.default_rng(0)
@@ -51,7 +57,7 @@ def bench_fused_chain(jax, jnp, channels=16, block=1 << 17, n_steps=512, reps=5)
     chain = jax.jit(
         lambda: FusedRxChain.create(
             n_taps=64, fc=0.2, as_=60.0, rate=2.0, mix_freq=0.35,
-            batch_shape=(channels,), r=64,
+            batch_shape=(channels,), r=64, precision=precision,
         )
     )()
     step = jax.jit(lambda c, a, b: c.step_planar(a, b))
@@ -150,9 +156,11 @@ def _bench_state_chain(jax, jnp, make_state, step_fn, lead_out, samples_per_step
     return float(np.median(rates)), rates
 
 
-def bench_symsync(jax, jnp, channels=64, block=4096, n_steps=12, reps=3):
+def bench_symsync(jax, jnp, channels=256, block=4096, n_steps=12, reps=3):
     """Config[1]: QPSK symbol-timing recovery (per-sample feedback scan,
-    parallel across channels — symsync.rs:230-266)."""
+    parallel across channels — symsync.rs:230-266). C=256 keeps the chip's
+    VPU lanes fed; round-2 ran C=64 (channel-scaling table in
+    FEEDBACK_PROFILE.json)."""
     from yagi_tpu.filter import Symsync
     from yagi_tpu.utils.planar import Planar
 
@@ -189,7 +197,7 @@ def bench_fm_stereo(jax, jnp, channels=16, block=1 << 14, n_steps=12, reps=3):
     )
 
 
-def bench_qamrx(jax, jnp, channels=64, block=4096, n_steps=12, reps=3):
+def bench_qamrx(jax, jnp, channels=256, block=4096, n_steps=12, reps=3):
     """Config[3]: 16-QAM receiver with EVM tracking (chains/qam.py)."""
     from yagi_tpu.chains import QamRx
     from yagi_tpu.utils.planar import Planar
@@ -230,6 +238,9 @@ def main() -> int:
     )
 
     secondaries = [
+        ("fused chain fp32-HIGHEST (exactness mode)",
+         lambda jax, jnp: bench_fused_chain(jax, jnp, n_steps=256, reps=3,
+                                            precision="highest")),
         ("64-ch channelizer+FM (config[4])", bench_channelizer_fm),
         ("symsync QPSK recovery (config[1])", bench_symsync),
         ("FM stereo chain (config[2])", bench_fm_stereo),

@@ -7,6 +7,8 @@ stereo requirement.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 import jax
@@ -71,6 +73,9 @@ class TestDistributions:
         ],
         ids=["uniform", "normal", "exp", "gamma", "nakagami", "rice", "weibull"],
     )
+    @autotest(param_map={"[uniform]": "randf", "[normal]": "randnf",
+                         "[exp]": "randexpf", "[rice]": "randricekf",
+                         "[weibull]": "randweibf"})
     def test_empirical_cdf(self, sampler, cdf):
         key = jax.random.key(7)
         n = 20000
@@ -80,12 +85,14 @@ class TestDistributions:
             x_q = samples[int(q * n)]
             assert cdf(np.array([x_q]))[0] == pytest.approx(q, abs=0.02)
 
+    @autotest("crandnf")
     def test_cawgn_power(self):
         key = jax.random.key(0)
         x = jnp.zeros(50000, dtype=jnp.complex64)
         y = yrandom.cawgn(key, x, 0.5)
         assert float(jnp.mean(jnp.abs(y) ** 2)) == pytest.approx(0.25, rel=0.05)
 
+    @autotest("random_config")
     def test_invalid(self):
         key = jax.random.key(0)
         with pytest.raises(ConfigError):
@@ -99,6 +106,7 @@ class TestDistributions:
 
 
 class TestScramble:
+    @autotest("scramble_n16", "scramble_n64", "scramble_n256", "scramble_n11", "scramble_n33", "scramble_n277")
     def test_involution(self):
         rng = np.random.default_rng(0)
         data = rng.integers(0, 256, size=37).astype(np.uint8)
@@ -106,6 +114,7 @@ class TestScramble:
         assert not np.array_equal(s, data)
         np.testing.assert_array_equal(yrandom.unscramble_data(s), data)
 
+    @autotest("scramble_soft_n16", "scramble_soft_n64", "scramble_soft_n256", "scramble_soft_n11", "scramble_soft_n33", "scramble_soft_n277")
     def test_soft(self):
         """Soft unscramble flips exactly the masked bit positions."""
         hard = np.array([0x00, 0xFF, 0xAA, 0x5C], dtype=np.uint8)
@@ -138,6 +147,7 @@ class TestBits:
 
 
 class TestMatrixGolden:
+    @autotest("matrixf_add")
     def test_add(self):
         g = load("matrix")
         x = g["MATRIXF_DATA_ADD_X"].reshape(5, 4)
@@ -145,6 +155,7 @@ class TestMatrixGolden:
         z = g["MATRIXF_DATA_ADD_Z"].reshape(5, 4)
         np.testing.assert_allclose(matrix_add(x, y), z, atol=1e-5)
 
+    @autotest("matrixf_aug")
     def test_aug(self):
         g = load("matrix")
         x = g["MATRIXF_DATA_AUG_X"].reshape(5, 4)
@@ -152,6 +163,7 @@ class TestMatrixGolden:
         z = g["MATRIXF_DATA_AUG_Z"].reshape(5, 7)
         np.testing.assert_allclose(matrix_aug(x, y), z, atol=1e-5)
 
+    @autotest("matrixf_mul")
     def test_mul(self):
         g = load("matrix")
         x = g["MATRIXF_DATA_MUL_X"].reshape(5, 4)
@@ -159,12 +171,14 @@ class TestMatrixGolden:
         z = g["MATRIXF_DATA_MUL_Z"].reshape(5, 3)
         np.testing.assert_allclose(matrix_mul(x, y), z, atol=1e-4)
 
+    @autotest("matrixf_inv")
     def test_inv(self):
         g = load("matrix")
         x = g["MATRIXF_DATA_INV_X"].reshape(5, 5)
         y = g["MATRIXF_DATA_INV_Y"].reshape(5, 5)
         np.testing.assert_allclose(matrix_inv(x), y, atol=1e-3)
 
+    @autotest("matrixf_linsolve")
     def test_linsolve(self):
         g = load("matrix")
         A = g["MATRIXF_DATA_LINSOLVE_A"].reshape(5, 5)
@@ -172,6 +186,7 @@ class TestMatrixGolden:
         b = g["MATRIXF_DATA_LINSOLVE_B"]
         np.testing.assert_allclose(matrix_linsolve(A, b), x, atol=1e-3)
 
+    @autotest("matrixf_cgsolve")
     def test_cgsolve(self):
         g = load("matrix")
         A = g["MATRIXF_DATA_CGSOLVE_A"].reshape(8, 8)
@@ -180,12 +195,14 @@ class TestMatrixGolden:
         got = matrix_cgsolve(A, b, tol=1e-9)
         np.testing.assert_allclose(got, x, atol=1e-3)
 
+    @autotest("matrixf_chol")
     def test_chol(self):
         g = load("matrix")
         A = g["MATRIXF_DATA_CHOL_A"].reshape(4, 4)
         L = g["MATRIXF_DATA_CHOL_L"].reshape(4, 4)
         np.testing.assert_allclose(matrix_chol(A), L, atol=1e-3)
 
+    @autotest("matrixf_qrdecomp")
     def test_qr(self):
         g = load("matrix")
         A = g["MATRIXF_DATA_QRDECOMP_A"].reshape(4, 4)
@@ -198,6 +215,7 @@ class TestMatrixGolden:
         np.testing.assert_allclose(np.abs(Q), np.abs(Qg), atol=1e-3)
         np.testing.assert_allclose(np.abs(R), np.abs(Rg), atol=1e-3)
 
+    @autotest("matrixf_ludecomp_crout", "matrixf_ludecomp_doolittle")
     def test_ludecomp(self):
         g = load("matrix")
         A = g["MATRIXF_DATA_LUDECOMP_A"].reshape(8, 8)
@@ -208,6 +226,7 @@ class TestMatrixGolden:
         np.testing.assert_allclose(L2 @ U2, A, atol=1e-4)
         assert np.allclose(np.diag(L2), 1.0)
 
+    @autotest("matrixf_transmul")
     def test_transmul(self):
         g = load("matrix")
         X = g["MATRIXF_DATA_TRANSMUL_X"].reshape(5, 4)
@@ -215,6 +234,7 @@ class TestMatrixGolden:
             matrix_transmul(X), g["MATRIXF_DATA_TRANSMUL_XTX"].reshape(4, 4), atol=1e-4
         )
 
+    @autotest("matrixf_gramschmidt")
     def test_gramschmidt(self):
         g = load("matrix")
         A = g["MATRIXF_DATA_GRAMSCHMIDT_A"].reshape(4, 3)

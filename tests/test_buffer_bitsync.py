@@ -9,6 +9,8 @@ rows (never ported by the reference).
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.buffer import CBuffer, WDelay, Window
@@ -18,6 +20,7 @@ from yagi_tpu.sequence import MSequence
 
 
 class TestWindow:
+    @autotest("windowf")
     def test_autotest_windowf(self):
         # reference autotest_windowf sequence (window.rs:110-209)
         v = [9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0, 0.0]
@@ -47,12 +50,14 @@ class TestWindow:
         w.reset()
         assert np.allclose(w.read(), np.zeros(10))
 
+    @autotest("window_config_errors")
     def test_config_errors(self):
         with pytest.raises(ConfigError):
             Window(0)
 
 
 class TestWDelay:
+    @autotest("wdelayf")
     def test_delay(self):
         # zeros until primed, then delayed-by-k stream (wdelay.rs autotest)
         d = WDelay(3)
@@ -62,6 +67,7 @@ class TestWDelay:
             out.append(d.read())  # push-then-read: y[k] = x[k - delay]
         assert np.allclose(out, [0, 0, 0, 1, 2, 3, 4, 5])
 
+    @autotest("wdelay_copy")
     def test_recreate_preserves_history(self):
         # exact reference semantics (wdelay.rs:27-44): history replayed into
         # the longer line, so two extra zeros precede the preserved samples

@@ -6,6 +6,8 @@ reference asserts via PSD masks (design/mod.rs tests).
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu import design as d
@@ -23,6 +25,7 @@ class TestKaiser:
         )
         assert d.kaiser_beta_stopband_attenuation(20.0) == 0.0
 
+    @autotest("firdes_prototype_kaiser")
     def test_fir_design_kaiser_spectrum(self):
         n, fc, As = 81, 0.2, 60.0
         h = d.fir_design_kaiser(n, fc, As, 0.0)
@@ -40,6 +43,7 @@ class TestKaiser:
         gdm = d.fir_group_delay(hm, 0.0)
         assert gd0 - gdm == pytest.approx(0.4, abs=0.02)
 
+    @autotest("liquid_firdes_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             d.fir_design_kaiser(0, 0.2, 60.0)
@@ -52,6 +56,7 @@ class TestKaiser:
 
 
 class TestNyquistShapes:
+    @autotest("liquid_firdes_rcos", "firdes_prototype_rcos")
     def test_rcos_golden(self):
         """Reference autotest vector (rcos.rs:62-97)."""
         h0 = [
@@ -64,6 +69,7 @@ class TestNyquistShapes:
         h = d.fir_design_rcos(2, 3, 0.3, 0.0)
         np.testing.assert_allclose(h, h0, atol=1e-5)
 
+    @autotest("liquid_firdes_rrcos", "firdes_rrcos", "firdes_prototype_rrcos")
     def test_rrcos_golden(self):
         """Reference autotest vector (rrcos.rs:76-103)."""
         h0 = [
@@ -86,6 +92,13 @@ class TestNyquistShapes:
             d.FirFilterShape.FARCSECH,
         ],
     )
+    @autotest(param_map={
+        "[FirFilterShape.KAISER]": "firdes_prototype_kaiser",
+        "[FirFilterShape.PM]": "firdes_prototype_pm",
+        "[FirFilterShape.RCOS]": "firdes_prototype_rcos",
+        "[FirFilterShape.FEXP]": "firdes_prototype_fexp",
+        "[FirFilterShape.FSECH]": "firdes_prototype_fsech",
+        "[FirFilterShape.FARCSECH]": "firdes_prototype_farcsech"})
     def test_nyquist_zero_crossings(self, shape):
         """Nyquist property: h[k·m + i·k] ≈ 0 for i ≠ 0 (scaled by h[km])."""
         k, m = 4, 6
@@ -107,6 +120,14 @@ class TestNyquistShapes:
             d.FirFilterShape.RFARCSECH,
         ],
     )
+    @autotest(param_map={
+        "[FirFilterShape.ARKAISER]": "firdes_prototype_arkaiser",
+        "[FirFilterShape.RKAISER]": "firdes_prototype_rkaiser",
+        "[FirFilterShape.RRCOS]": "firdes_prototype_rrcos",
+        "[FirFilterShape.HM3]": "firdes_prototype_hm3",
+        "[FirFilterShape.RFEXP]": "firdes_prototype_rfexp",
+        "[FirFilterShape.RFSECH]": "firdes_prototype_rfsech",
+        "[FirFilterShape.RFARCSECH]": "firdes_prototype_rfarcsech"})
     def test_root_nyquist_isi(self, shape):
         """Matched-filter ISI must be small (design/mod.rs test harness)."""
         k, m, beta = 2, 10, 0.35
@@ -122,6 +143,7 @@ class TestNyquistShapes:
         np.testing.assert_allclose(h, h[::-1], atol=1e-6)
         assert np.sum(h) == pytest.approx(np.pi / 2 * 4, rel=1e-5)
 
+    @autotest("liquid_getopt_str2firfilt")
     def test_from_str(self):
         assert d.FirFilterShape.from_str("rrcos") is d.FirFilterShape.RRCOS
         assert d.FirFilterShape.from_str("arkaiser") is d.FirFilterShape.ARKAISER
@@ -130,6 +152,7 @@ class TestNyquistShapes:
 
 
 class TestPm:
+    @autotest("firdespm_lowpass", "firdes_prototype_pm")
     def test_lowpass_meets_spec(self):
         n, fc, As = 81, 0.2, 60.0
         h = d.fir_design_pm_lowpass(n, fc, As)
@@ -141,6 +164,7 @@ class TestPm:
         assert Hdb[np.abs(f) >= fc + 0.5 * ft + 0.005].max() < -As + 3
         assert np.abs(Hdb[np.abs(f) <= fc - 0.5 * ft - 0.005]).max() < 0.2
 
+    @autotest("firdespm_bandpass_n24", "firdespm_bandpass_n32")
     def test_equiripple_alternation(self):
         """Error extrema must alternate with near-equal magnitude."""
         h = d.fir_design_pm(
@@ -171,6 +195,7 @@ class TestPm:
         even_outer = np.concatenate([h[0 : n // 2 : 2], h[n // 2 + 2 :: 2]])
         np.testing.assert_allclose(even_outer, 0.0, atol=1e-12)
 
+    @autotest("firdespm_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             d.fir_design_pm(0, [0.0, 0.5], [1.0], None, None)
@@ -183,6 +208,7 @@ class TestPm:
 
 
 class TestEstimators:
+    @autotest("liquid_firdes_estimate")
     def test_kaiser_len(self):
         assert d.estimate_req_filter_len_kaiser(0.05, 60.0) == pytest.approx(
             (60.0 - 7.95) / (14.26 * 0.05)
@@ -206,6 +232,7 @@ class TestEstimators:
 
 
 class TestFilterStats:
+    @autotest("filter_autocorr_rrrf")
     def test_autocorr(self):
         h = np.array([1.0, 2.0, 3.0])
         assert d.filter_autocorr(h, 0) == pytest.approx(14.0)
@@ -213,6 +240,7 @@ class TestFilterStats:
         assert d.filter_autocorr(h, -1) == pytest.approx(8.0)
         assert d.filter_autocorr(h, 3) == 0.0
 
+    @autotest("filter_crosscorr_rrrf")
     def test_crosscorr(self):
         h = np.array([1.0, 2.0, 3.0, 4.0])
         g = np.array([1.0, 1.0])
@@ -227,12 +255,14 @@ class TestFilterStats:
         e = d.filter_energy(h, 0.3, 1024)
         assert e < 1e-5  # almost all energy below fc=0.3
 
+    @autotest("firdes_doppler")
     def test_doppler(self):
         h = d.fir_design_doppler(51, 0.1, 2.0, 0.0)
         assert len(h) == 51
         assert np.all(np.isfinite(h))
         np.testing.assert_allclose(h, h[::-1], atol=1e-6)
 
+    @autotest("liquid_firdes_dcblock", "liquid_firdes_notch")
     def test_notch_dc_blocker(self):
         h = d.fir_design_dc_blocker(15, 60.0)
         assert abs(np.sum(h)) < 1e-3  # DC response ~0

@@ -5,8 +5,11 @@ known channel, assert constellation RMSE below -20 dB).
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from yagi_tpu.equalization import Eqlms, Eqrls
@@ -113,3 +116,128 @@ class TestEqrls:
             Eqrls.create(p=0)
         with pytest.raises(ConfigError):
             Eqrls.create(p=4).set_bw(1.5)
+
+
+class TestEqlmsReferenceScenarios:
+    """The reference's 12 numbered eqlms scenarios (eqlms.rs:213-380):
+    interp → fixed 5-tap channel → adaptive equalizer as k-decimator; after
+    num_symbols training updates (perfect / CM-blind / decision-directed),
+    post-training RMSE must be < −20 dB."""
+
+    _CASES = {
+        "00": (2, 7, 0.3, 0, 7, 0.3, 800, 0, "qpsk"),
+        "01": (2, 7, 0.3, 0, 7, 0.3, 800, 1, "qpsk"),
+        "02": (2, 7, 0.3, 0, 7, 0.3, 800, 2, "qpsk"),
+        "03": (2, 7, 0.3, 0, 7, 0.3, 800, 0, "qam16"),
+        "04": (2, 7, 0.3, 1, 7, 0.3, 800, 0, "qam16"),
+        "05": (2, 7, 0.3, 2, 7, 0.3, 800, 0, "qam16"),
+        "06": (2, 7, 0.3, 3, 6, 0.3, 800, 0, "qam16"),
+        "07": (2, 9, 0.3, 0, 7, 0.3, 800, 0, "qpsk"),
+        "08": (2, 7, 0.2, 0, 9, 0.3, 800, 0, "qpsk"),
+        "09": (2, 7, 0.3, 0, 3, 0.3, 800, 0, "qpsk"),
+        "10": (2, 7, 0.3, 0, 7, 0.5, 800, 0, "arb64vt"),
+        "11": (2, 7, 0.3, 0, 7, 0.1, 800, 0, "qpsk"),
+    }
+
+    @autotest(param_map={f"[{k}]": f"eqlms_{k}" for k in _CASES})
+    @pytest.mark.parametrize("case", sorted(_CASES))
+    def test_scenario(self, case):
+        from yagi_tpu.design import FirFilterShape
+        from yagi_tpu.filter import FirFilter, FirInterpolationFilter
+        from yagi_tpu.math.windows import hamming
+        from yagi_tpu.math.special import sincf
+        from yagi_tpu.modem import Modem
+
+        k, m, beta, init, p, mu, num_symbols, update, ms = self._CASES[case]
+        rng = np.random.default_rng(int(case) + 17)
+        modem = Modem.create(ms)
+        M = modem.constellation_size
+        n_total = 2 * num_symbols
+
+        syms = rng.integers(0, M, size=n_total).astype(np.uint32)
+        v, _ = modem.modulate(jnp.asarray(syms))
+        v = np.asarray(v)
+
+        interp = FirInterpolationFilter.create_prototype(
+            FirFilterShape.ARKAISER, k, m, beta, dtype=jnp.complex64
+        )
+        x_i, _ = interp.execute_block(jnp.asarray(v))
+        h = np.array([1.0 + 0j, -0.01j, -0.11 + 0.02j, 0.02 + 0.01j,
+                      -0.09 - 0.04j], dtype=np.complex64)
+        chan = FirFilter.create(h, dtype=jnp.complex64)
+        x_c, _ = chan.execute_block(x_i)
+        x_c = np.asarray(x_c)
+
+        if init == 0:
+            eq = Eqlms.create_rnyquist(FirFilterShape.ARKAISER, k, p, beta)
+        elif init == 1:
+            eq = Eqlms.create_lowpass(2 * k * p + 1, 0.5 / k)
+        elif init == 2:
+            i_ = np.arange(2 * k * p + 1)
+            hp = (np.asarray(sincf(i_ / k - p)) *
+                  np.asarray(hamming(2 * k * p + 1)) / k).astype(np.complex64)
+            eq = Eqlms.create(h=hp)
+        else:
+            eq = Eqlms.create(h_len=2 * k * p + 1)
+        eq = eq.set_bw(mu)
+
+        demod = Modem.create(ms)
+        step_perfect = jax.jit(
+            lambda e, xk, d: (lambda y_e: (y_e[0], y_e[1].step(d, y_e[0])))(
+                e.decim_execute(xk, k)))
+        step_blind = jax.jit(
+            lambda e, xk: (lambda y_e: (y_e[0], y_e[1].step_blind(y_e[0])))(
+                e.decim_execute(xk, k)))
+        decim_only = jax.jit(lambda e, xk: e.decim_execute(xk, k))
+
+        rmse = 0.0
+        for i in range(n_total):
+            xk = jnp.asarray(x_c[i * k : (i + 1) * k])
+            if i < m + p:
+                _, eq = decim_only(eq, xk)
+                continue
+            d_in = v[i - (m + p)]
+            if i < num_symbols:
+                if update == 0:
+                    _, eq = step_perfect(eq, xk, jnp.asarray(d_in))
+                elif update == 1:
+                    _, eq = step_blind(eq, xk)
+                elif update == 2:
+                    # decision-directed: step toward the decided point
+                    y, eq_p = decim_only(eq, xk)
+                    _, dm = demod.demodulate(jnp.asarray(np.asarray(y))[None])
+                    d_hat = complex(np.asarray(dm.get_demodulator_sample()))
+                    eq = eq_p.step(jnp.asarray(d_hat), y)
+                else:
+                    _, eq = decim_only(eq, xk)
+                continue
+            y, eq = decim_only(eq, xk)
+            err = abs(complex(np.asarray(y)) - complex(d_in))
+            rmse += err * err
+        rmse_db = 10.0 * np.log10(rmse / num_symbols)
+        assert rmse_db < -20.0, (case, rmse_db)
+
+    @autotest("eqlms_config")
+    def test_config_reference(self):
+        with pytest.raises(ConfigError):
+            Eqlms.create()
+        with pytest.raises(ConfigError):
+            Eqlms.create_rnyquist("arkaiser", 1, 7, 0.3)
+        with pytest.raises(ConfigError):
+            Eqlms.create_lowpass(0, 0.1)
+        with pytest.raises(ConfigError):
+            Eqlms.create(h_len=5).set_bw(-1.0)
+
+    @autotest("eqlms_cccf_copy")
+    def test_copy_reference(self):
+        rng = np.random.default_rng(5)
+        eq0 = Eqlms.create(h_len=7).set_bw(0.1)
+        x = (rng.normal(size=30) + 1j * rng.normal(size=30)).astype(np.complex64)
+        d = (np.sign(rng.normal(size=30)) + 0j).astype(np.complex64)
+        _, eq0 = eq0.train_block(jnp.asarray(x), jnp.asarray(d))
+        eq1 = jax.tree_util.tree_map(lambda v: v, eq0)
+        x2 = (rng.normal(size=20) + 1j * rng.normal(size=20)).astype(np.complex64)
+        d2 = (np.sign(rng.normal(size=20)) + 0j).astype(np.complex64)
+        y0, _ = eq0.train_block(jnp.asarray(x2), jnp.asarray(d2))
+        y1, _ = eq1.train_block(jnp.asarray(x2), jnp.asarray(d2))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

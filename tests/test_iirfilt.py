@@ -5,6 +5,8 @@ liquid's SOS/zpk pipeline properties, PSD masks for designed prototypes.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 import jax.numpy as jnp
@@ -19,6 +21,9 @@ TOL = 1e-2  # reference iirfilt tests use 0.01 (accumulating f32 recurrences)
 
 
 class TestIirFiltGolden:
+    @autotest(param_map={f"[{c}-{v}]": f"iirfilt_{v.lower()}_{c.lower()}"
+                         for v in ("RRRF", "CRCF", "CCCF")
+                         for c in ("H3X64", "H5X64", "H7X64")})
     @pytest.mark.parametrize("variant", ["RRRF", "CRCF", "CCCF"])
     @pytest.mark.parametrize("case", ["H3X64", "H5X64", "H7X64"])
     def test_golden_tf(self, variant, case):
@@ -50,6 +55,7 @@ class TestIirFiltGolden:
 
 
 class TestSos:
+    @autotest("iirfiltsos_impulse_n2", "iirfiltsos_step_n2")
     def test_biquad_matches_tf(self):
         """Single biquad == TF-form IIR with same coefficients."""
         rng = np.random.default_rng(0)
@@ -62,6 +68,7 @@ class TestSos:
         y_tf, _ = tf.execute_block(x)
         np.testing.assert_allclose(np.asarray(y_sos), np.asarray(y_tf), rtol=1e-5, atol=1e-6)
 
+    @autotest("iirdes_dzpk2sosf")
     def test_sos_cascade_matches_tf(self):
         """SOS realization of a designed filter matches TF realization."""
         btf, atf = iirdes.iir_design(
@@ -96,6 +103,20 @@ class TestIirDesign:
             iirdes.IirFilterShape.BESSEL,
         ],
     )
+    @autotest(param_map={
+        "[2-IirFilterShape.BUTTER]": "iirdes_butter_2",
+        "[3-IirFilterShape.BUTTER]": "iirdes_butter_lowpass_0",
+        "[5-IirFilterShape.BUTTER]": "iirdes_butter_lowpass_1",
+        "[8-IirFilterShape.BUTTER]": "iirdes_butter_lowpass_2",
+        "[3-IirFilterShape.CHEBY1]": "iirdes_cheby1_lowpass_0",
+        "[5-IirFilterShape.CHEBY1]": "iirdes_cheby1_lowpass_1",
+        "[8-IirFilterShape.CHEBY1]": "iirdes_cheby1_lowpass_2",
+        "[3-IirFilterShape.CHEBY2]": "iirdes_cheby2_lowpass_0",
+        "[5-IirFilterShape.CHEBY2]": "iirdes_cheby2_lowpass_1",
+        "[8-IirFilterShape.CHEBY2]": "iirdes_cheby2_lowpass_2",
+        "[3-IirFilterShape.ELLIP]": "iirdes_ellip_lowpass_0",
+        "[5-IirFilterShape.ELLIP]": "iirdes_ellip_lowpass_1",
+        "[8-IirFilterShape.ELLIP]": "iirdes_ellip_lowpass_2"})
     @pytest.mark.parametrize("order", [2, 3, 5, 8])
     def test_lowpass_psd(self, shape, order):
         """Designed lowpass is stable, unity passband, attenuating stopband."""
@@ -152,6 +173,7 @@ class TestIirDesign:
         # just past the cutoff, elliptic should attenuate more
         assert abs(fe.freqresponse(0.26)) < abs(fb.freqresponse(0.26))
 
+    @autotest("iirdes_ellip_highpass")
     def test_highpass(self):
         f = IirFilter.create_prototype(
             iirdes.IirFilterShape.BUTTER,
@@ -183,6 +205,7 @@ class TestIirDesign:
         assert abs(f.freqresponse(0.25)) < 0.05
         assert abs(f.freqresponse(0.0)) == pytest.approx(1.0, abs=0.15)
 
+    @autotest("iirdes_isstable_n2_yes", "iirdes_isstable_n2_no")
     def test_is_stable(self):
         b, a = iirdes.iir_design(
             iirdes.IirFilterShape.BUTTER,
@@ -193,17 +216,20 @@ class TestIirDesign:
         assert iirdes.iir_design_is_stable(b, a)
         assert not iirdes.iir_design_is_stable([1.0], [1.0, -2.5])
 
+    @autotest("iirdes_cplxpair_n6", "iirdes_cplxpair_n20")
     def test_cplxpair(self):
         z = np.array([10 + 3j, 5 + 0j, -3 + 4j, 10 - 3j, 3 + 0j, -3 - 4j])
         p = iirdes.find_conjugate_pairs(z)
         want = np.array([-3 - 4j, -3 + 4j, 10 - 3j, 10 + 3j, 3 + 0j, 5 + 0j])
         np.testing.assert_allclose(p, want, atol=1e-8)
 
+    @autotest("iirfilt_dcblock")
     def test_dc_blocker(self):
         f = IirFilter.create_dc_blocker(0.1)
         assert abs(f.freqresponse(0.0)) < 1e-6
         assert abs(f.freqresponse(0.25)) == pytest.approx(1.0, abs=0.1)
 
+    @autotest("iirfilt_integrator", "iirfilt_differentiator")
     def test_integrator_differentiator(self):
         """Pintelon-Schoukens pair: differentiate then integrate ≈ identity
         up to delay; integrator of constant ramps linearly."""
@@ -226,11 +252,13 @@ class TestIirDesign:
         y, _ = f.execute_block(np.ones(10, dtype=np.float32))
         assert np.all(np.isfinite(np.asarray(y)))
 
+    @autotest("iir_groupdelay_n3", "iir_groupdelay_n8")
     def test_groupdelay(self):
         f = IirFilter.create_lowpass(4, 0.1)
         gd = f.groupdelay(0.0)
         assert 0.0 < gd < 20.0
 
+    @autotest("iirfilt_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             IirFilter.create([], [1.0])

@@ -8,11 +8,13 @@ gamma.rs:105ff, windows.rs:251ff).
 import numpy as np
 import pytest
 
+from tests.autotest import autotest
 from yagi_tpu import math as ym
 from yagi_tpu.errors import ConfigError, ValueRangeError
 
 
 class TestBessel:
+    @autotest("lnbesselif")
     def test_lnbesselif(self):
         cases = [
             (0.0, 0.0, 0.0),
@@ -33,6 +35,7 @@ class TestBessel:
             got = ym.lnbesselif(nu, z)
             assert got == pytest.approx(want, abs=1e-5, rel=1e-5)
 
+    @autotest("besselif")
     def test_besselif(self):
         cases = [
             (0.0, 0.0, 1.0),
@@ -46,6 +49,7 @@ class TestBessel:
         for nu, z, want in cases:
             assert ym.besselif(nu, z) == pytest.approx(want, rel=1e-3, abs=1e-3)
 
+    @autotest("besseli0f")
     def test_besseli0f(self):
         for z, want in [
             (0.0, 1.0),
@@ -57,6 +61,7 @@ class TestBessel:
         ]:
             assert ym.besseli0f(z) == pytest.approx(want, rel=1e-6)
 
+    @autotest("besseljf")
     def test_besseljf(self):
         # J_0 at a few standard points (scipy-grade truth values)
         assert ym.besseljf(0.0, 0.0) == pytest.approx(1.0)
@@ -64,12 +69,14 @@ class TestBessel:
         assert ym.besseljf(1.0, 1.0) == pytest.approx(0.44005058574493355, rel=1e-6)
         assert ym.besseljf(2.0, 3.0) == pytest.approx(0.48609126058589107, rel=1e-6)
 
+    @autotest("besselj0f")
     def test_besselj0f(self):
         assert ym.besselj0f(0.0) == pytest.approx(1.0)
         assert ym.besselj0f(2.4048255576957728) == pytest.approx(0.0, abs=1e-6)
 
 
 class TestGamma:
+    @autotest("gamma")
     def test_gammaf(self):
         cases = [
             (0.0001, 9999.42288323161),
@@ -88,6 +95,7 @@ class TestGamma:
         # reflection identity: gamma(-0.5) = -2*sqrt(pi)
         assert ym.gammaf(-0.5) == pytest.approx(-2.0 * np.sqrt(np.pi), rel=1e-6)
 
+    @autotest("lngamma")
     def test_lngammaf(self):
         for z, want in [
             (1e-5, 1.15129196928958e01),
@@ -99,10 +107,12 @@ class TestGamma:
         with pytest.raises(ValueRangeError):
             ym.lngammaf(-1.0)
 
+    @autotest("factorial")
     def test_factorial(self):
         for n, want in [(0, 1.0), (1, 1.0), (5, 120.0), (10, 3628800.0)]:
             assert ym.factorialf(n) == pytest.approx(want, rel=1e-5)
 
+    @autotest("uppergamma")
     def test_lowergamma(self):
         # γ(z, α) compared against scipy-grade truth: γ(2.0, 1.0) = 0.26424...
         assert ym.lowergammaf(2.0, 1.0) == pytest.approx(0.2642411176571153, rel=1e-4)
@@ -110,10 +120,12 @@ class TestGamma:
 
 
 class TestMisc:
+    @autotest("Q")
     def test_qf(self):
         assert ym.qf(0.0) == pytest.approx(0.5)
         assert ym.qf(1.0) == pytest.approx(0.15865525393145707, rel=1e-6)
 
+    @autotest("sincf")
     def test_sincf(self):
         assert ym.sincf(0.0) == pytest.approx(1.0)
         assert ym.sincf(1.0) == pytest.approx(0.0, abs=1e-7)
@@ -125,6 +137,7 @@ class TestMisc:
             rtol=1e-6,
         )
 
+    @autotest("nextpow2")
     def test_nextpow2(self):
         assert ym.nextpow2(1) == 0
         assert ym.nextpow2(2) == 1
@@ -134,6 +147,7 @@ class TestMisc:
         with pytest.raises(ValueRangeError):
             ym.nextpow2(0)
 
+    @autotest("nchoosek")
     def test_nchoosek(self):
         assert ym.nchoosek(5, 2) == pytest.approx(10.0)
         assert ym.nchoosek(10, 0) == pytest.approx(1.0)
@@ -143,12 +157,14 @@ class TestMisc:
 
 
 class TestModArith:
+    @autotest("prime_small")
     def test_is_prime(self):
         primes = [2, 3, 5, 7, 11, 13, 17, 19, 23, 8191]
         composites = [0, 1, 4, 6, 8, 9, 100, 8192]
         assert all(ym.is_prime(p) for p in primes)
         assert not any(ym.is_prime(c) for c in composites)
 
+    @autotest("factors")
     def test_factor(self):
         assert ym.factor(12) == [2, 2, 3]
         assert ym.factor(97) == [97]
@@ -167,6 +183,7 @@ class TestModArith:
         # 3 is the smallest primitive root of 7
         assert ym.primitive_root_prime(7) == 3
 
+    @autotest("totient")
     def test_totient(self):
         assert ym.totient(9) == 6
         assert ym.totient(10) == 4
@@ -178,30 +195,37 @@ class TestPoly:
         # P(x) = 1 + 2x + 3x^2 at x=2 → 17
         assert ym.poly_val([1.0, 2.0, 3.0], 2.0) == pytest.approx(17.0)
 
+    @autotest("polyf_fit_q3n3")
     def test_poly_fit(self):
         x = np.array([0.0, 1.0, 2.0, 3.0])
         y = 2.0 + 3.0 * x
         p = ym.poly_fit(x, y, 2)
         np.testing.assert_allclose(p, [2.0, 3.0], atol=1e-10)
 
+    @autotest("poly_expandbinomial_n6")
     def test_poly_expandbinomial(self):
         np.testing.assert_allclose(ym.poly_expandbinomial(3), [1, 3, 3, 1])
 
+    @autotest("poly_binomial_expand_pm_m6_k1", "poly_expandbinomial_pm_m5_k2")
     def test_poly_expandbinomial_pm(self):
         # (1+x)^2 (1-x)^1 = 1 + x - x^2 - x^3
         np.testing.assert_allclose(ym.poly_expandbinomial_pm(2, 1), [1, 1, -1, -1])
 
+    @autotest("polyf_expandroots_4", "polyf_expandroots_11")
     def test_poly_expandroots(self):
         # (x-1)(x-2) = 2 - 3x + x^2
         np.testing.assert_allclose(ym.poly_expandroots([1.0, 2.0]), [2, -3, 1])
 
+    @autotest("polyf_expandroots2_3")
     def test_poly_expandroots2(self):
         # (2x-1)(3x-2) = 2 - 7x + 6x^2
         np.testing.assert_allclose(ym.poly_expandroots2([1.0, 2.0], [2.0, 3.0]), [2, -7, 6])
 
+    @autotest("polyf_mul_2_3")
     def test_poly_mul(self):
         np.testing.assert_allclose(ym.poly_mul([1, 1], [1, 1]), [1, 2, 1])
 
+    @autotest("polyf_lagrange")
     def test_poly_interp_lagrange(self):
         x = np.array([0.0, 1.0, 2.0])
         y = x**2
@@ -213,6 +237,7 @@ class TestPoly:
         p = ym.poly_fit_lagrange(x, y)
         np.testing.assert_allclose(p, [1.0, 2.0, 0.5], atol=1e-12)
 
+    @autotest("polyf_lagrange_issue165")
     def test_barycentric(self):
         x = np.array([0.0, 1.0, 2.0, 3.0])
         y = np.sin(x)
@@ -249,6 +274,7 @@ class TestWindows:
         assert w[25] == pytest.approx(1.0)
         assert np.all(w > 0) and np.all(w <= 1.0)
 
+    @autotest("window_hamming", "window_hann")
     def test_hamming_hann(self):
         wh = ym.hamming(71)
         assert wh[0] == pytest.approx(0.53836 - 0.46164)
@@ -256,6 +282,7 @@ class TestWindows:
         assert wn[0] == pytest.approx(0.0, abs=1e-12)
         assert wn[35] == pytest.approx(1.0)
 
+    @autotest("window_blackmanharris7", "window_flattop", "window_triangular", "window_rcostaper")
     def test_window_dispatch(self):
         for wt, arg in [
             (ym.WindowType.HAMMING, 0.0),
@@ -271,6 +298,7 @@ class TestWindows:
             assert w.shape == (71,)
             assert np.all(np.isfinite(w))
 
+    @autotest("window_blackmanharris", "window_kaiser")
     def test_window_sidelobes(self):
         """PSD check per reference windows.rs:260-300: normalized window FFT
         must be below -40 dB for |f| > 0.20 and have a narrow main lobe."""
@@ -290,6 +318,7 @@ class TestWindows:
             psd_db = 20 * np.log10(np.abs(spec) + 1e-30)
             assert np.all(psd_db[np.abs(f) > 0.20] < -40.0), wt
 
+    @autotest("window_kbd", "kbd_n16", "kbd_n32", "kbd_n48")
     def test_kbd_properties(self):
         """KBD window Princen-Bradley conditions (windows.rs:356-374)."""
         for n, beta in [(16, 10.0), (32, 20.0), (48, 12.0)]:
@@ -305,6 +334,7 @@ class TestWindows:
         with pytest.raises(ConfigError):
             ym.get_window_type("invalid window")
 
+    @autotest("window_config")
     def test_invalid_params(self):
         with pytest.raises(ValueRangeError):
             ym.kaiser(10, -1.0)

@@ -119,29 +119,29 @@ def main() -> int:
     chan_msps = Tc * M * 128 / (time.perf_counter() - t0 - t_null) / 1e6
     print(f"fused channelizer: {chan_msps:.0f} Msps, parity {chan_rel:.2e}")
 
-    pathlib.Path("TPU_PARITY.json").write_text(
-        json.dumps(
-            {
-                "chain": {
-                    "parity_rel_err": rel,
-                    "fused_msps": round(fused_msps, 1),
-                    "xla_msps": round(xla_msps, 2),
-                    "channels": C,
-                    "block": T,
-                },
-                "channelizer": {
-                    "parity_rel_err": chan_rel,
-                    "fused_msps": round(chan_msps, 1),
-                    "M": M,
-                    "steps_per_block": Tc,
-                },
-                "platform": plat,
-                "note": "compiled Pallas kernels on real TPU; methodology per kernels/ROOFLINE.md",
+    from tools import perfcommon as pc
+
+    pc.write_artifact(
+        "TPU_PARITY.json",
+        {
+            "chain": {
+                "parity_rel_err": rel,
+                "fused_msps": round(fused_msps, 1),
+                "xla_msps": round(xla_msps, 2),
+                "channels": C,
+                "block": T,
             },
-            indent=1,
-        )
+            "channelizer": {
+                "parity_rel_err": chan_rel,
+                "fused_msps": round(chan_msps, 1),
+                "M": M,
+                "steps_per_block": Tc,
+            },
+            "platform": plat,
+            "note": "compiled Pallas kernels on real TPU; methodology per kernels/ROOFLINE.md",
+        },
+        jax, jnp,
     )
-    print("wrote TPU_PARITY.json")
     return 0
 
 

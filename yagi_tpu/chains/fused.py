@@ -92,6 +92,9 @@ class FusedRxChain:
             "highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT,
+            # documented-tolerance 3-pass bf16 split (~2^-21 rel);
+            # see kernels/chain.py dot3
+            "bf16x3": "bf16x3",
         }[self.precision]
 
     # ------------------------------------------------------------- streaming

@@ -146,33 +146,42 @@ class QamRx:
         ms = self.evm_accum / jnp.maximum(self.evm_count, 1.0)
         return 10.0 * jnp.log10(jnp.maximum(ms, 1e-12))
 
-    def step(self, x):
-        """Process one block.
+    def step_masked(self, x):
+        """Process one block; masked (uncompacted) outputs.
 
-        Returns ``(syms, soft, num_syms, chain)``: ``syms`` (uint32) and
-        ``soft`` (complex, carrier-corrected equalizer output) have capacity
-        ``n + n//4 + 16`` entries compacted to the front (the equalizer scan
-        runs over that capped capacity, NOT the symsync's full ``4·n``
-        theoretical capacity); ``num_syms`` counts the valid ones. Any
-        symsync output beyond the cap is dropped and counted in
-        ``chain.overflow_count`` — nonzero only if the timing loop's output
-        rate exceeds nominal by >25% for a sustained stretch.
+        Returns ``(syms, soft, mask, chain)`` with ``syms``/``soft``/``mask``
+        shaped ``[..., 2·N]`` (two symsync emission slots per input step, in
+        stream order); entries where ``mask`` is False are padding. This is
+        the compaction-free fast path — :meth:`step` wraps it with
+        front-compaction for the symtrack-style API.
+
+        The symsync at ``k_out = 2`` emits ≤ 1 symbol-rate sample per input
+        in steady state; two slots absorb timing transients, and anything
+        beyond slot 2 in one input step (rate < ½ nominal — pathological)
+        is dropped and counted in ``chain.overflow_count``.
         """
         x = jnp.asarray(x)
         n = x.shape[-1]
         y0, agc = self.agc.execute_block(x)
-        y1, n1, ss = self.symsync.execute(y0)
-        # the symsync buffer is front-compacted with capacity 4·n, but the
-        # loop's long-run output rate is k_out/k ≤ 1 per input — scanning the
-        # whole capacity wastes 3/4 of the equalizer scan. Keep 25% headroom
-        # for rate transients and surface any drop via overflow_count.
-        cap = min(y1.shape[-1], n + n // 4 + 16)
-        y1 = y1[..., :cap]
-        overflow = jnp.maximum(n1 - cap, 0)
-        n1 = jnp.minimum(n1, cap)
-        valid = jnp.arange(cap) < n1[..., None] if n1.ndim else jnp.arange(cap) < n1
+        # raw emission slots — dense prefix per step, no argsort compaction
+        # (each argsort+gather pass costs ~10 ms/block on TPU)
+        y_slots, v_slots, ss = self.symsync.execute_slots(y0)
+        E = 2
+        y1 = y_slots[..., :E].reshape(x.shape[:-1] + (n * E,))
+        valid = v_slots[..., :E].reshape(x.shape[:-1] + (n * E,))
+        overflow = jnp.sum(
+            v_slots[..., E:].astype(jnp.int32), axis=(-1, -2)
+        )
 
-        from ..utils.planar import planarize, unplanarize
+        from ..utils.planar import loop_constants, planarize, unplanarize
+
+        # loop-invariant PLL gains and constellation planes materialized
+        # outside the scan (in-body input-derived scalars get sunk into
+        # every iteration; utils.loop_constants)
+        alpha_v, beta_v = loop_constants(self.alpha, self.beta, like=self.theta)
+        table_r, table_i = jax.lax.optimization_barrier(
+            (jnp.real(self.table), jnp.imag(self.table))
+        )
 
         def body(carry, inp):
             eq, theta, dtheta, sph, eacc, ecnt = unplanarize(carry)
@@ -188,18 +197,19 @@ class QamRx:
             can_adapt = is_sym & (eq_p.x2_sum > 0.5 * self.eq.h_len)
 
             vs = y * jnp.exp(-1j * theta).astype(y.dtype)
-            d2 = jnp.abs(vs[..., None] - self.table) ** 2
+            vs_r, vs_i = jnp.real(vs), jnp.imag(vs)
+            d2 = (vs_r[..., None] - table_r) ** 2 + (vs_i[..., None] - table_i) ** 2
             s = jnp.argmin(d2, axis=-1).astype(jnp.uint32)
             # one-hot constellation select: per-channel dynamic gathers are
             # scalar-unit-bound on TPU (kernels/ROOFLINE.md)
-            oh = s[..., None] == jnp.arange(self.table.shape[0], dtype=jnp.uint32)
-            shat = jnp.sum(jnp.where(oh, self.table, 0), axis=-1)
+            oh = s[..., None] == jnp.arange(table_r.shape[0], dtype=jnp.uint32)
+            sr = jnp.sum(jnp.where(oh, table_r, 0), axis=-1)
+            si = jnp.sum(jnp.where(oh, table_i, 0), axis=-1)
+            shat = jax.lax.complex(sr, si)
 
-            pe = (vs * jnp.conj(shat)).imag / jnp.maximum(
-                jnp.abs(shat) ** 2, 1e-12
-            )
-            theta_n = theta + dtheta + self.alpha * pe
-            dtheta_n = dtheta + self.beta * pe
+            pe = (vs_i * sr - vs_r * si) / jnp.maximum(sr * sr + si * si, 1e-12)
+            theta_n = theta + dtheta + alpha_v * pe
+            dtheta_n = dtheta + beta_v * pe
             d_train = shat * jnp.exp(1j * theta).astype(y.dtype)
             eq_u = eq_p.step(d_train, y)
 
@@ -220,30 +230,47 @@ class QamRx:
             self.eq, self.theta, self.dtheta, self.sym_phase,
             self.evm_accum, self.evm_count,
         ))
-        xt_r = jnp.moveaxis(jnp.real(y1), -1, 0)
-        xt_i = jnp.moveaxis(jnp.imag(y1), -1, 0)
-        vt_f = jnp.moveaxis(valid.astype(jnp.float32), -1, 0)
+        # barrier: scan xs computed in-graph otherwise get re-derived inside
+        # every loop iteration on this toolchain (utils.loop_constants note)
+        xt_r, xt_i, vt_f = jax.lax.optimization_barrier((
+            jnp.moveaxis(jnp.real(y1), -1, 0),
+            jnp.moveaxis(jnp.imag(y1), -1, 0),
+            jnp.moveaxis(valid.astype(jnp.float32), -1, 0),
+        ))
         carry, packed = jax.lax.scan(body, carry0, (xt_r, xt_i, vt_f), unroll=4)
         eq, theta, dtheta, sph, eacc, ecnt = unplanarize(carry)
 
-        packed = jnp.moveaxis(packed, 0, -2)  # [..., cap, 4]
+        packed = jnp.moveaxis(packed, 0, -2)  # [..., 2N, 4]
         syms = packed[..., 0].astype(jnp.uint32)
         soft = jax.lax.complex(packed[..., 1], packed[..., 2])
         mask = packed[..., 3] > 0.5
-        num_syms = jnp.sum(mask.astype(jnp.int32), axis=-1)
-        order = jnp.argsort(~mask, axis=-1, stable=True)
-        syms = jnp.take_along_axis(syms, order, axis=-1)
-        soft = jnp.take_along_axis(soft, order, axis=-1)
-        soft = jnp.where(jnp.arange(cap) < num_syms[..., None] if num_syms.ndim
-                         else jnp.arange(cap) < num_syms, soft, 0)
-        syms = jnp.where(jnp.arange(cap) < num_syms[..., None] if num_syms.ndim
-                         else jnp.arange(cap) < num_syms, syms, 0)
 
         new = self.replace(
             agc=agc, symsync=ss, eq=eq, theta=theta, dtheta=dtheta,
             sym_phase=sph, evm_accum=eacc, evm_count=ecnt,
             overflow_count=self.overflow_count + overflow,
         )
+        return syms, soft, mask, new
+
+    def step(self, x):
+        """Process one block (symtrack-style compacted API).
+
+        Returns ``(syms, soft, num_syms, chain)``: ``syms`` (uint32) and
+        ``soft`` (complex, carrier-corrected equalizer output) have capacity
+        ``2·N`` entries compacted to the front; ``num_syms`` counts the
+        valid ones. Emissions beyond 2 per input step are dropped and
+        counted in ``chain.overflow_count`` (see :meth:`step_masked`).
+        """
+        syms, soft, mask, new = self.step_masked(x)
+        cap = syms.shape[-1]
+        num_syms = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        order = jnp.argsort(~mask, axis=-1, stable=True)
+        syms = jnp.take_along_axis(syms, order, axis=-1)
+        soft = jnp.take_along_axis(soft, order, axis=-1)
+        live = (jnp.arange(cap) < num_syms[..., None] if num_syms.ndim
+                else jnp.arange(cap) < num_syms)
+        soft = jnp.where(live, soft, 0)
+        syms = jnp.where(live, syms, 0)
         return syms, soft, num_syms, new
 
     __call__ = step

@@ -102,6 +102,51 @@ def causal_conv_valid(xa: jnp.ndarray, h: jnp.ndarray, stride: int = 1) -> jnp.n
     return y.reshape(batch_shape + (n_out,))
 
 
+def banded_branch_matrix(branches: np.ndarray) -> np.ndarray:
+    """Host-side band matrix G for :func:`multi_branch_conv_tm_pre`.
+
+    G[u, t·M + i] = branches[i, t + L − 1 − u] (zero outside [0, L)). Build
+    ONCE at object-creation time: constructing it in-graph from a traced
+    branches array is a ~2M-element gather per call (~15 ms on TPU).
+    """
+    branches = np.asarray(branches)
+    M, L = branches.shape
+    nband = -(-(L + _ROW - 1) // _ROW)
+    K = nband * _ROW
+    u = np.arange(K)[:, None, None]
+    t = np.arange(_ROW)[None, :, None]
+    i = np.arange(M)[None, None, :]
+    k = t + (L - 1) - u
+    g = np.where(
+        (k >= 0) & (k < L), branches[i, np.clip(k, 0, L - 1)], 0.0
+    ).reshape(K, _ROW * M)
+    return g.astype(branches.dtype)
+
+
+def multi_branch_conv_tm_pre(xa: jnp.ndarray, g: jnp.ndarray, M: int, L: int
+                             ) -> jnp.ndarray:
+    """Time-major all-branch conv against a PREBUILT band matrix.
+
+    Same result as :func:`multi_branch_conv_tm`(xa, branches) with
+    ``g = banded_branch_matrix(branches)``; the band matrix comes from the
+    caller's state instead of being gathered per call.
+    """
+    out_dtype = result_dtype(xa.dtype, g.dtype)
+    xa = xa.astype(out_dtype)
+    g = g.astype(out_dtype)
+    batch_shape = xa.shape[:-1]
+    m = xa.shape[-1]
+    n_out = m - L + 1
+    nb = -(-n_out // _ROW)
+    K = g.shape[0]
+    total = (nb - 1) * _ROW + K
+    xp = jnp.pad(xa.reshape((-1, m)), ((0, 0), (0, total - m)))
+    x3 = xp.reshape((-1, nb - 1 + K // _ROW, _ROW))
+    f = jnp.concatenate([x3[:, d : d + nb] for d in range(K // _ROW)], axis=-1)
+    y = jax.lax.dot_general(f, g, (((2,), (0,)), ((), ())), precision=_PREC)
+    return y.reshape(batch_shape + (nb * _ROW, M))[..., :n_out, :]
+
+
 def multi_branch_conv_tm(xa: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:
     """All-branch polyphase convolution, TIME-MAJOR output [..., N, M].
 

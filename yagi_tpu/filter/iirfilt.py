@@ -272,9 +272,25 @@ class IirFilter:
             return self._execute_block_parallel(x)
         xt = jnp.moveaxis(x, -1, 0)
 
+        from ..utils.planar import loop_constants, planar_scan
+
         if self.sos_form:
             B, A = self.b, self.a
             nsos = self.nsos
+            # per-section coefficient scalars materialized outside the scan
+            # (in-body A[s,i] slices get sunk into every iteration)
+            like = self.v[..., 0, 0]
+            coef = loop_constants(
+                *[A[s, i] for s in range(nsos) for i in (1, 2)],
+                *[B[s, i] for s in range(nsos) for i in (0, 1, 2)],
+                like=like,
+            )
+            A12 = [(coef[2 * s], coef[2 * s + 1]) for s in range(nsos)]
+            B012 = [
+                (coef[2 * nsos + 3 * s], coef[2 * nsos + 3 * s + 1],
+                 coef[2 * nsos + 3 * s + 2])
+                for s in range(nsos)
+            ]
 
             def step(v, xi):
                 y = xi
@@ -282,22 +298,21 @@ class IirFilter:
                 for s in range(nsos):
                     v1 = v[..., s, 0]
                     v2 = v[..., s, 1]
-                    v0 = y - A[s, 1] * v1 - A[s, 2] * v2
-                    y = B[s, 0] * v0 + B[s, 1] * v1 + B[s, 2] * v2
+                    v0 = y - A12[s][0] * v1 - A12[s][1] * v2
+                    y = B012[s][0] * v0 + B012[s][1] * v1 + B012[s][2] * v2
                     vs.append(jnp.stack([v0, v1], axis=-1))
                 return jnp.stack(vs, axis=-2), y
 
         else:
             b, a = self.b, self.a
+            b0 = loop_constants(b[0], like=self.v[..., 0])
 
             def step(v, xi):
                 # v holds previous DF-II values, newest first (length n-1)
                 v0 = xi - jnp.sum(a[1:] * v, axis=-1)
-                y = b[0] * v0 + jnp.sum(b[1:] * v, axis=-1)
+                y = b0 * v0 + jnp.sum(b[1:] * v, axis=-1)
                 v_new = jnp.concatenate([v0[..., None], v[..., :-1]], axis=-1)
                 return v_new, y
-
-        from ..utils.planar import planar_scan
 
         v_final, yt = planar_scan(step, self.v, xt, unroll=8)
         y = jnp.moveaxis(yt, 0, -1) * self.scale

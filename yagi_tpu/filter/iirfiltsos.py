@@ -78,13 +78,21 @@ class IirFilterSos:
                 v_fin = v_fin.real
             return y, self.replace(v=v_fin.astype(self.v.dtype))
 
+        # loop-invariant coefficient slices materialized outside the scan
+        # (in-body a[i]/b[i] gets sunk into every iteration; see
+        # utils.loop_constants)
+        from ..utils.planar import loop_constants, planar_scan
+
+        a1, a2, b0, b1, b2 = loop_constants(
+            self.a[1], self.a[2], self.b[0], self.b[1], self.b[2],
+            like=self.v[..., 0],
+        )
+
         def step(v, xt):
             v1, v2 = v[..., 0], v[..., 1]
-            v0 = xt - self.a[1] * v1 - self.a[2] * v2
-            y = self.b[0] * v0 + self.b[1] * v1 + self.b[2] * v2
+            v0 = xt - a1 * v1 - a2 * v2
+            y = b0 * v0 + b1 * v1 + b2 * v2
             return jnp.stack([v0, v1], axis=-1), y
-
-        from ..utils.planar import planar_scan
 
         xt = jnp.moveaxis(x, -1, 0)  # scan over time
         v_final, yt = planar_scan(step, self.v, xt, unroll=8)

@@ -38,6 +38,10 @@ class Symsync:
     npfb: int = struct.static_field()
     mf: jnp.ndarray = struct.field()  # [npfb, Lsub] matched filter (conv order)
     dmf: jnp.ndarray = struct.field()  # [npfb, Lsub] derivative bank
+    # prebuilt [K, 128·2npfb] band matrix of concat(mf, dmf) for the
+    # time-major all-branch precompute (built host-side at create;
+    # in-graph construction is a ~2M-element gather per call)
+    bank_g: jnp.ndarray = struct.field()
     window: jnp.ndarray = struct.field()  # [..., Lsub] shared input window
     # control state
     b: jnp.ndarray = struct.field()  # int32 filterbank index
@@ -82,6 +86,9 @@ class Symsync:
 
         mf = pfb_decompose(h.astype(np.float32), npfb)
         dmf = pfb_decompose(dh.astype(np.float32), npfb)
+        from ._conv import banded_branch_matrix
+
+        bank_g = banded_branch_matrix(np.concatenate([mf, dmf], axis=0))
 
         obj = cls(
             k=k,
@@ -89,6 +96,7 @@ class Symsync:
             npfb=npfb,
             mf=jnp.asarray(mf),
             dmf=jnp.asarray(dmf),
+            bank_g=jnp.asarray(bank_g),
             window=jnp.zeros(batch_shape + (mf.shape[1],), dtype=jnp.dtype(dtype)),
             b=jnp.zeros(batch_shape, jnp.int32),
             bf=jnp.zeros(batch_shape, jnp.float32),
@@ -224,25 +232,36 @@ class Symsync:
         # time-major from the start (multi_branch_conv_tm; the [.., M, N]
         # minor-axis transpose costs more than the matmul on TPU).
         xa = jnp.concatenate([self.window, x], axis=-1)
-        from ._conv import multi_branch_conv_tm
+        from ._conv import multi_branch_conv_tm_pre
 
         P = self.npfb
         planes = jnp.stack([jnp.real(xa[..., 1:]), jnp.imag(xa[..., 1:])])
-        banks = jnp.concatenate([self.mf, self.dmf], axis=0)  # [2P, Lsub]
         # [2, ..., n, 2P] → time-major [n, 2, ..., 2P]. The barrier forces
         # the transpose to MATERIALIZE before the scan — otherwise XLA fuses
         # it into the loop and every iteration strides across the whole
         # time axis (measured ~70 ms/block vs ~15 ms materialized).
-        ytm = multi_branch_conv_tm(planes, banks)
+        ytm = multi_branch_conv_tm_pre(
+            planes, self.bank_g, 2 * P, self.mf.shape[1]
+        )
         xs_all = jax.lax.optimization_barrier(jnp.moveaxis(ytm, -2, 0))
         pidx = jnp.arange(self.npfb, dtype=jnp.int32)
         locked_f = self.locked  # captured constant (not a scan boundary leaf)
 
+        # loop-invariant PLL coefficients: materialize as batch-shaped
+        # vectors OUTSIDE the scan — an in-body coeffs[i] scalar slice gets
+        # sunk into every iteration on this toolchain (utils.loop_constants)
+        from ..utils.planar import loop_constants
+
+        pa1, pa2, pb0, pb1, pb2 = loop_constants(
+            self.pll_a[1], self.pll_a[2],
+            self.pll_b[0], self.pll_b[1], self.pll_b[2], like=self.tau,
+        )
+
         def pll_exec(v, q):
             # DF2 biquad (iirfiltsos.rs:103)
             v1, v2 = v[..., 0], v[..., 1]
-            v0 = q - self.pll_a[1] * v1 - self.pll_a[2] * v2
-            out = self.pll_b[0] * v0 + self.pll_b[1] * v1 + self.pll_b[2] * v2
+            v0 = q - pa1 * v1 - pa2 * v2
+            out = pb0 * v0 + pb1 * v1 + pb2 * v2
             return jnp.stack([v0, v1], axis=-1), out
 
         def step(carry, inp):

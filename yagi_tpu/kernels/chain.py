@@ -112,12 +112,36 @@ def _chain_kernel(p: int, r: int, precision, scal_ref, xr_ref, xi_ref, g_ref,
     gm = g_ref[:]  # [256, 128P] stacked band matrix
     fr = jnp.concatenate([prev_r, xr], axis=2)  # [C, R, 256]
     fi = jnp.concatenate([prev_i, xi], axis=2)
-    zr = jax.lax.dot_general(
-        fr, gm, dn, preferred_element_type=jnp.float32, precision=precision
-    )
-    zi = jax.lax.dot_general(
-        fi, gm, dn, preferred_element_type=jnp.float32, precision=precision
-    )
+    if precision == "bf16x3":
+        # 3-pass bf16 split (a≈a_hi+a_lo): a·b ≈ ah·bh + ah·bl + al·bh —
+        # half the MXU passes of fp32-HIGHEST (6) at ~2^-21 relative error
+        # (documented tolerance mode; drops the al·bl term, ~2^-31)
+        gh = gm.astype(jnp.bfloat16)
+        gl = (gm - gh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dot3(f):
+            fh = f.astype(jnp.bfloat16)
+            fl = (f - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+            z = jax.lax.dot_general(
+                fh, gh, dn, preferred_element_type=jnp.float32
+            )
+            z = z + jax.lax.dot_general(
+                fh, gl, dn, preferred_element_type=jnp.float32
+            )
+            z = z + jax.lax.dot_general(
+                fl, gh, dn, preferred_element_type=jnp.float32
+            )
+            return z
+
+        zr = dot3(fr)
+        zi = dot3(fi)
+    else:
+        zr = jax.lax.dot_general(
+            fr, gm, dn, preferred_element_type=jnp.float32, precision=precision
+        )
+        zi = jax.lax.dot_general(
+            fi, gm, dn, preferred_element_type=jnp.float32, precision=precision
+        )
 
     # exact u32 NCO ramp over this tile's global output indices (osc.rs:86-88).
     # All phase arithmetic runs in int32: HLO integer ops are two's-complement

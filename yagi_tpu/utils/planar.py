@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["Planar", "planarize", "unplanarize", "planar", "planar_jit",
-           "planar_scan"]
+           "planar_scan", "loop_constants"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -218,6 +218,26 @@ def _unpack_ys(packed, recover):
             )
             off += size
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def loop_constants(*vals, like):
+    """Materialize loop-invariant scalars as vectors before a lax.scan.
+
+    On the production TPU toolchain, XLA sinks input-derived computations —
+    even a rank-0 dynamic-slice like ``coeffs[1]`` — into the while-loop
+    body, re-executing them EVERY iteration (~35 ms per 4096-step scan for
+    four such scalars, measured; kernels/ROOFLINE.md feedback-scan rules).
+    Broadcasting to the batch shape and fencing with an optimization barrier
+    forces one materialization outside the loop (measured back to the
+    constant-coefficient speed).
+
+    Returns the values broadcast to ``like``'s shape, barrier-fenced; pass
+    each into the scan body instead of indexing arrays there.
+    """
+    out = jax.lax.optimization_barrier(tuple(
+        jnp.broadcast_to(jnp.asarray(v), jnp.shape(like)) for v in vals
+    ))
+    return out if len(vals) != 1 else (out[0],)[0]
 
 
 def planar_scan(f, init, xs, *, unroll: int = 1, reverse: bool = False):

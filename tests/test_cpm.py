@@ -6,6 +6,8 @@ roundtrips across parameter sets, constant-envelope property, block-split
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 import jax.numpy as jnp
@@ -17,11 +19,16 @@ from yagi_tpu.modem import (
 
 
 class TestGmsk:
-    @pytest.mark.parametrize("k,m,bt", [
-        (2, 5, 0.2), (2, 5, 0.3), (2, 5, 0.4),
-        (4, 5, 0.2), (4, 5, 0.3), (4, 5, 0.4),
-        (3, 7, 0.2), (8, 4, 0.3),
-    ])
+    # the reference's 11 gmskmodem autotest combos (gmskmodem suite)
+    _REF = [(4, 3, 0.25), (2, 3, 0.25), (3, 3, 0.25), (5, 3, 0.25),
+            (8, 3, 0.33), (4, 1, 0.25), (4, 2, 0.25), (4, 8, 0.25),
+            (4, 3, 0.20), (4, 3, 0.33), (4, 3, 0.50)]
+
+    @autotest(param_map={
+        f"[{k}-{m}-{bt}]":
+        f"gmskmodem_k{k}_m{m}_b{str(bt).replace('0.', '0')[:3].ljust(3, '0')}"
+        for k, m, bt in _REF})
+    @pytest.mark.parametrize("k,m,bt", _REF)
     def test_roundtrip(self, k, m, bt):
         """liquid autotest gmskmodem_k*_m*_bt* model: mod->demod
         recovers the bit stream after the 2m-symbol latency."""
@@ -84,16 +91,31 @@ class TestGmsk:
 
 
 class TestCpfsk:
-    @pytest.mark.parametrize("bps,h,k,m,ftype", [
-        (1, 0.5, 4, 3, CpfskFilterType.SQUARE),     # MSK-like
-        (1, 1.0, 4, 3, CpfskFilterType.SQUARE),
-        (2, 0.5, 4, 3, CpfskFilterType.SQUARE),
-        (2, 0.25, 8, 3, CpfskFilterType.SQUARE),
-        (1, 0.5, 4, 3, CpfskFilterType.RCOS_FULL),
-        (2, 0.5, 8, 3, CpfskFilterType.RCOS_FULL),
-        (1, 0.5, 4, 3, CpfskFilterType.RCOS_PARTIAL),
-        (1, 0.5, 4, 3, CpfskFilterType.GMSK),
-    ])
+    # the reference's 23 cpfskmodem roundtrip combos (cpfskmodem suite)
+    _REF = (
+        [(1, h, 4, 3, ft, f"cpfskmodem_bps1_h0p{hs}_k4_m3_{fn}")
+         for h, hs in [(0.5, "5000"), (0.025, "0250"), (0.125, "1250"),
+                       (0.0625, "0625")]
+         for ft, fn in [(CpfskFilterType.SQUARE, "square"),
+                        (CpfskFilterType.RCOS_FULL, "rcosfull"),
+                        (CpfskFilterType.RCOS_PARTIAL, "rcospart"),
+                        (CpfskFilterType.GMSK, "gmsk")]]
+        + [(2, 0.025, 4, 3, CpfskFilterType.SQUARE,
+            "cpfskmodem_bps2_h0p0250_k4_m3_square"),
+           (3, 0.125, 4, 3, CpfskFilterType.SQUARE,
+            "cpfskmodem_bps3_h0p1250_k4_m3_square"),
+           (4, 0.0625, 4, 3, CpfskFilterType.SQUARE,
+            "cpfskmodem_bps4_h0p0625_k4_m3_square")]
+        + [(1, 0.5, k_, 7, CpfskFilterType.GMSK,
+            f"cpfskmodem_bps1_h0p5_k{k_}_m7_gmsk") for k_ in (2, 4, 6, 8)]
+    )
+
+    @autotest(param_map={f"[ref{i}]": nm for i, (*_, nm) in enumerate(_REF)})
+    @pytest.mark.parametrize(
+        "bps,h,k,m,ftype",
+        [c[:5] for c in _REF],
+        ids=[f"ref{i}" for i in range(len(_REF))],
+    )
     def test_roundtrip(self, bps, h, k, m, ftype):
         """liquid autotest cpfskmodem_* model: clean roundtrip."""
         rng = np.random.default_rng(99)

@@ -232,7 +232,6 @@ class TestEstimators:
 
 
 class TestFilterStats:
-    @autotest("filter_autocorr_rrrf")
     def test_autocorr(self):
         h = np.array([1.0, 2.0, 3.0])
         assert d.filter_autocorr(h, 0) == pytest.approx(14.0)

@@ -8,6 +8,8 @@ burst-spreading, and packetizer end-to-end recovery.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.fec import (
@@ -280,3 +282,74 @@ class TestPacketizer:
     def test_invalid_config(self):
         with pytest.raises(ConfigError):
             Packetizer(0)
+
+
+_FEC_NAME = {
+    "rep3": "r3", "rep5": "r5", "hamming74": "h74", "hamming84": "h84",
+    "hamming128": "h128", "golay2412": "g2412", "secded2216": "secded2216",
+    "secded3932": "secded3932", "secded7264": "secded7264",
+    "conv27": "v27", "conv29": "v29", "conv39": "v39", "conv615": "v615",
+    "conv27p23": "v27p23", "conv27p34": "v27p34", "conv27p45": "v27p45",
+    "conv27p56": "v27p56", "conv27p67": "v27p67", "conv27p78": "v27p78",
+    "conv29p23": "v29p23", "conv29p34": "v29p34", "conv29p45": "v29p45",
+    "conv29p56": "v29p56", "conv29p67": "v29p67", "conv29p78": "v29p78",
+    "rs8": "rs8",
+}
+_SOFT_SCHEMES = [s for s in _FEC_NAME
+                 if not s.startswith(("secded", "golay"))]
+
+
+class TestFecReferenceScenarios:
+    """The reference's per-scheme fec autotest families (liquid fec suite,
+    LIQUID_COMPAT.md fec/fec_copy/fec_soft): hard roundtrip with correctable
+    errors, mid-stream object copy, and soft-input decode."""
+
+    @autotest(param_map={f"[{k}]": f"fec_{v}" for k, v in _FEC_NAME.items()})
+    @pytest.mark.parametrize("scheme", sorted(_FEC_NAME))
+    def test_hard_roundtrip(self, scheme):
+        rng = np.random.default_rng(hash(scheme) % (1 << 31))
+        f = Fec(scheme)
+        n = 16
+        msg = rng.integers(0, 256, n).astype(np.uint8)
+        enc = f.encode(msg)
+        assert len(enc) == f.get_enc_msg_length(n)
+        dec = f.decode(enc, n)
+        np.testing.assert_array_equal(dec, msg)
+        # single corrupted byte still corrects for r>...=1/2 codes
+        if f.rate < 0.99:
+            enc2 = enc.copy()
+            enc2[len(enc2) // 2] ^= 0x01
+            dec2 = f.decode(enc2, n)
+            np.testing.assert_array_equal(dec2, msg)
+
+    @autotest(param_map={f"[{k}]": f"fec_copy_{v}" for k, v in _FEC_NAME.items()})
+    @pytest.mark.parametrize("scheme", sorted(_FEC_NAME))
+    def test_copy(self, scheme):
+        """Copied codec behaves identically (liquid fec_copy_* semantics)."""
+        import copy as _copy
+
+        rng = np.random.default_rng(1 + hash(scheme) % (1 << 30))
+        f0 = Fec(scheme)
+        msg0 = rng.integers(0, 256, 12).astype(np.uint8)
+        _ = f0.decode(f0.encode(msg0), 12)
+        f1 = _copy.deepcopy(f0)
+        msg = rng.integers(0, 256, 12).astype(np.uint8)
+        e0, e1 = f0.encode(msg), f1.encode(msg)
+        np.testing.assert_array_equal(e0, e1)
+        np.testing.assert_array_equal(f0.decode(e0, 12), f1.decode(e1, 12))
+
+    @autotest(param_map={f"[{k}]": f"fecsoft_{_FEC_NAME[k]}"
+                         for k in _SOFT_SCHEMES})
+    @pytest.mark.parametrize("scheme", sorted(_SOFT_SCHEMES))
+    def test_soft_roundtrip(self, scheme):
+        """Soft-input decode of clean levels recovers the message
+        (liquid fecsoft_* semantics; softbits 0/255 encode hard bits)."""
+        rng = np.random.default_rng(2 + hash(scheme) % (1 << 30))
+        f = Fec(scheme)
+        n = 12
+        msg = rng.integers(0, 256, n).astype(np.uint8)
+        enc = f.encode(msg)
+        bits = np.unpackbits(enc)
+        levels = (bits * 255).astype(np.uint8)
+        dec = f.decode_soft(levels, n)
+        np.testing.assert_array_equal(dec, msg)

@@ -564,3 +564,78 @@ class TestModemReferenceScenarios:
         d0, m0 = m0.demodulate(jnp.asarray(x2))
         d1, m1 = m1.demodulate(jnp.asarray(x2))
         np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+class TestFskReferenceScenarios:
+    """The reference's 20 fskmodem mod/demod autotests (fskdem.rs:201-304)
+    plus copies: every symbol of every M roundtrips exactly."""
+
+    _NORM = {f"M{1 << m}": (m, 2 << m, 0.25) for m in range(1, 11)}
+    _MISC = {"M2": (1, 5, 0.3721451), "M4": (2, 10, 0.3721451),
+             "M8": (3, 20, 0.3721451), "M16": (4, 30, 0.3721451),
+             "M32": (5, 60, 0.3721451), "M64": (6, 100, 0.3721451),
+             "M128": (7, 200, 0.3721451), "M256": (8, 500, 0.3721451),
+             "M512": (9, 1000, 0.3721451), "M1024": (10, 2000, 0.3721451)}
+
+    def _roundtrip(self, m, k, bw):
+        M = 1 << m
+        syms = np.arange(M, dtype=np.int32)
+        tx = Fskmod.create(m, k, bw)
+        y, tx = tx.modulate(jnp.asarray(syms))
+        rx = Fskdem.create(m, k, bw)
+        out, rx = rx.demodulate(np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(out), syms)
+
+    @autotest(param_map={f"[norm-M{1 << m}]": f"fskmodem_norm_M{1 << m}"
+                         for m in range(1, 11)})
+    @pytest.mark.parametrize("case", sorted(_NORM),
+                             ids=[f"norm-{k}" for k in sorted(_NORM)])
+    def test_norm(self, case):
+        self._roundtrip(*self._NORM[case])
+
+    @autotest(param_map={f"[misc-M{1 << m}]": f"fskmodem_misc_M{1 << m}"
+                         for m in range(1, 11)})
+    @pytest.mark.parametrize("case", sorted(_MISC),
+                             ids=[f"misc-{k}" for k in sorted(_MISC)])
+    def test_misc(self, case):
+        self._roundtrip(*self._MISC[case])
+
+    @autotest("fskmod_copy", "fskdem_copy")
+    def test_copy(self):
+        rng = np.random.default_rng(4)
+        m, k, bw = 3, 16, 0.25
+        tx0 = Fskmod.create(m, k, bw)
+        s0 = rng.integers(0, 8, 6).astype(np.int32)
+        _, tx0 = tx0.modulate(jnp.asarray(s0))
+        tx1 = jax.tree_util.tree_map(lambda v: v, tx0)
+        s1 = rng.integers(0, 8, 6).astype(np.int32)
+        y0, _ = tx0.modulate(jnp.asarray(s1))
+        y1, _ = tx1.modulate(jnp.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        rx0 = Fskdem.create(m, k, bw)
+        _, rx0 = rx0.demodulate(np.asarray(y0))
+        rx1 = jax.tree_util.tree_map(lambda v: v, rx0)
+        d0, _ = rx0.demodulate(np.asarray(y0))
+        d1, _ = rx1.demodulate(np.asarray(y0))
+        np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
+class TestFreqmodemReferenceScenarios:
+    """freqmodem_kf_* autotests (freqdem.rs:110-148): FM mod→demod of a
+    sum-of-sines message recovers it within 5e-2 (skip first sample)."""
+
+    @autotest(param_map={"[0.02]": "freqmodem_kf_0_02",
+                         "[0.04]": "freqmodem_kf_0_04",
+                         "[0.08]": "freqmodem_kf_0_08"})
+    @pytest.mark.parametrize("kf", [0.02, 0.04, 0.08])
+    def test_kf(self, kf):
+        n = 1024
+        i = np.arange(n)
+        msg = (0.3 * np.cos(2 * np.pi * 0.013 * i + 0.0)
+               + 0.2 * np.cos(2 * np.pi * 0.021 * i + 0.4)
+               + 0.4 * np.cos(2 * np.pi * 0.037 * i + 1.7)).astype(np.float32)
+        fm = Freqmod.create(kf)
+        r, fm = fm.modulate(msg)
+        fd = Freqdem.create(kf)
+        y, fd = fd.demodulate(np.asarray(r))
+        np.testing.assert_allclose(np.asarray(y)[1:], msg[1:], atol=5e-2)

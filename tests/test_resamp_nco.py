@@ -351,3 +351,82 @@ class TestResampReferenceScenarios:
         y1, k1, q1 = q1.execute_block(jnp.asarray(x2))
         assert int(k0) == int(k1)
         np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+class TestNcoReferenceScenarios:
+    """The reference's nco_crcf mix (20) and spectrum (10) autotests
+    (osc.rs:490-741): block mix against a float phase-recursion oracle for
+    NCO/VCO schemes at various phases/frequencies, and oscillator spectral
+    purity against PSD masks."""
+
+    _PI = float(np.pi)
+    _MIX = {  # id → (mode, phase, frequency)
+        "nco_0": ("nco", 0.0, 0.0), "nco_1": ("nco", 1.234, 0.0),
+        "nco_2": ("nco", -1.234, 0.0), "nco_3": ("nco", 99.0, 0.0),
+        "nco_4": ("nco", _PI, 0.0), "nco_5": ("nco", 0.0, _PI),
+        "nco_6": ("nco", 0.0, -_PI), "nco_7": ("nco", 0.0, 0.123),
+        "nco_8": ("nco", 0.0, -0.123), "nco_9": ("nco", 0.0, 1e-5),
+        "vco_0": ("vco", 0.0, 0.0), "vco_1": ("vco", 1.234, 0.0),
+        "vco_2": ("vco", -1.234, 0.0), "vco_3": ("vco", 99.0, 0.0),
+        "vco_4": ("vco", _PI, 0.0), "vco_5": ("vco", 0.0, _PI),
+        "vco_6": ("vco", 0.0, -_PI), "vco_7": ("vco", 0.0, 0.123),
+        "vco_8": ("vco", 0.0, -0.123), "vco_9": ("vco", 0.0, 1e-5),
+    }
+
+    @autotest(param_map={f"[{k}]": f"nco_crcf_mix_{k}" for k in _MIX})
+    @pytest.mark.parametrize("case", sorted(_MIX))
+    def test_mix(self, case):
+        mode, phase, freq = self._MIX[case]
+        tol, n = 1e-2, 1200
+        rng = np.random.default_rng(hash(case) % (1 << 31))
+        x = np.exp(2j * np.pi * rng.random(n)).astype(np.complex64)
+        osc = Osc.create(mode).set_phase(phase).set_frequency(freq)
+        y, osc = osc.mix_block_up(jnp.asarray(x))
+        y = np.asarray(y)
+        theta = phase
+        want = np.empty(n, np.complex64)
+        for i in range(n):
+            want[i] = x[i] * np.exp(1j * theta)
+            theta += freq
+            while theta > np.pi:
+                theta -= 2 * np.pi
+            while theta < -np.pi:
+                theta += 2 * np.pi
+        np.testing.assert_allclose(y.real, want.real, atol=tol)
+        np.testing.assert_allclose(y.imag, want.imag, atol=tol)
+
+    _SPEC = {"f00": 0.0, "f01": 0.1234, "f02": -0.1234, "f03": 0.25,
+             "f04": 0.1}
+
+    @autotest(param_map={f"[{m}-f0{i}]": f"nco_crcf_spectrum_{m}_f0{i}"
+                         for m in ("nco", "vco") for i in range(5)})
+    @pytest.mark.parametrize("mode", ["nco", "vco"])
+    @pytest.mark.parametrize("case", sorted(_SPEC))
+    def test_spectrum(self, mode, case):
+        """Oscillator PSD: single tone ≤0 dB peak, ≤−60 dB elsewhere
+        (osc.rs:648-684; shortened run, same masks)."""
+        from yagi_tpu import fft as yfft
+        from yagi_tpu.math.windows import WindowType, hann
+        from yagi_tpu.utils import PsdRegion, validate_psd_spgram
+
+        freq = self._SPEC[case]
+        nfft = 9600
+        osc = Osc.create(mode).set_frequency(2.0 * np.pi * freq)
+        sp = yfft.Spgram.create(nfft, WindowType.BLACKMAN_HARRIS, nfft, nfft // 2)
+        buf_len = 3 * nfft
+        x = jnp.full(buf_len, 1.0 / np.sqrt(nfft), dtype=jnp.complex64)
+        first = True
+        while int(sp.num_samples_total) < (1 << 16):
+            y, osc = osc.mix_block_up(x)
+            if first:
+                y = y * jnp.asarray(
+                    np.asarray(hann(2 * buf_len))[:buf_len], dtype=jnp.float32
+                )
+                first = False
+            sp = sp.write(y)
+        regions = [
+            PsdRegion(-0.5, freq - 0.002, 0.0, -60.0, False, True),
+            PsdRegion(freq - 0.002, freq + 0.002, 0.0, 0.0, False, True),
+            PsdRegion(freq + 0.002, 0.5, 0.0, -60.0, False, True),
+        ]
+        assert validate_psd_spgram(sp, regions), (mode, case)

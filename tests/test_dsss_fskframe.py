@@ -7,6 +7,8 @@ makes decoding possible.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.errors import ConfigError
@@ -29,6 +31,7 @@ def _channel(tx, delay, dphi, phi, gamma, snr_db, seed):
 
 class TestDsssFrame64:
     @pytest.mark.parametrize("sf", [4, 8, 16])
+    @autotest("dsssframe64sync")
     def test_roundtrip(self, sf):
         gen = DsssFrameGen64(sf=sf)
         sync = DsssFrameSync64(sf=sf)
@@ -68,6 +71,7 @@ class TestDsssFrame64:
                         + 1j * rng.standard_normal(8192))
         assert sync.execute(noise.astype(np.complex64)) is None
 
+    @autotest("dsssframe64_config")
     def test_config_errors(self):
         with pytest.raises(ConfigError):
             DsssFrameGen64(sf=1)

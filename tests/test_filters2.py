@@ -55,6 +55,7 @@ class TestFftFilt:
         got = np.concatenate(ys)
         np.testing.assert_allclose(got, y_want, atol=2e-3)
 
+    @autotest("fftfilt_copy")
     def test_matches_firfilt(self):
         rng = np.random.default_rng(0)
         h = rng.normal(size=12).astype(np.float32)
@@ -94,6 +95,7 @@ class TestFftFilt:
 
 
 class TestResamp2:
+    @autotest("resamp2_analysis", "resamp2_synthesis")
     def test_analyzer_splits_bands(self):
         """Low tone → low channel, high tone → high channel (resamp2.rs:188)."""
         m, as_ = 5, 60.0
@@ -117,6 +119,7 @@ class TestResamp2:
         peak = fgrid[np.argmax(np.abs(spec_lo))]
         assert abs(peak - 2 * f0 / (2 * np.pi)) < 0.01
 
+    @autotest("resamp2_crcf_filter_0", "resamp2_crcf_filter_1")
     def test_interp_decim_roundtrip(self):
         """interp 2x then decim 2x ≈ delayed identity for a band-limited
         input (the halfband keeps |f| < 0.25); decimator has gain 2
@@ -137,6 +140,7 @@ class TestResamp2:
         err = np.abs(z[40:550] - want[40:550]).mean()
         assert err < 0.02
 
+    @autotest("resamp2_crcf_filter_2", "resamp2_crcf_filter_3")
     def test_filter_execute_block(self):
         """Lowpass/highpass outputs: tone in passband appears in y0."""
         m = 6
@@ -288,6 +292,7 @@ class TestMsResamp:
 
 
 class TestHilbert:
+    @autotest("firhilbf_decim", "firhilbf_psd")
     def test_fir_r2c_tone(self):
         """Real cosine → analytic signal at ±f kept in one sideband
         (firhilb decim test style)."""
@@ -307,6 +312,7 @@ class TestHilbert:
         image_band = (np.abs(fg + peak) < 0.02)
         assert spec[image_band].max() < 0.05 * spec.max()
 
+    @autotest("firhilbf_interp")
     def test_fir_interp_r2c_roundtrip(self):
         """c2r interp → r2c decim ≈ identity at the composite fractional
         delay 2m-0.5 (each branch delays (2m-1)/2 complex samples)."""
@@ -324,6 +330,7 @@ class TestHilbert:
         err = np.abs(z[30:n] - want[30:n]).mean()
         assert err < 0.02
 
+    @autotest("iirhilbf_filter")
     def test_iir_hilbert_decim_tone(self):
         n = 1024
         f_c = 0.08
@@ -336,6 +343,7 @@ class TestHilbert:
         fg = np.arange(len(spec)) / len(spec) - 0.5
         assert abs(abs(fg[spec.argmax()]) - f_c) < 0.01
 
+    @autotest("iirhilbf_interp_decim")
     def test_iir_decim_interp(self):
         rng = np.random.default_rng(7)
         x = rng.normal(size=400).astype(np.float32)
@@ -373,6 +381,7 @@ class TestFdelayOrdLpc:
         want = np.sin(2 * np.pi * 0.02 * (t - d))
         assert np.abs(y[50:] - want[50:]).max() < 1e-2
 
+    @autotest("ordfilt_copy")
     def test_ordfilt_median(self):
         q = OrdFilt.create_medfilt(2, dtype=jnp.float32)  # window 5, k=2
         x = np.array([0, 0, 0, 10, 0, 0, 0, 5, 5, 5, 5, 5], dtype=np.float32)
@@ -495,3 +504,209 @@ class TestRresampReferenceScenarios:
         assert q.get_block_len() == 2
         assert q.get_p() == 6 and q.get_q() == 4
         assert q.get_rate() == pytest.approx(1.5)
+
+
+class TestFdelayReferenceScenarios:
+    """fdelay_rrrf autotests (fdelay.rs:146-251): impulse through a split
+    set_delay(0.7d)+adjust_delay(0.3d), delay estimated from the phase of a
+    single low-frequency probe, tol 0.01."""
+
+    _D = {"0": 0.0, "1": 0.0001, "2": 0.1, "3": 0.9, "4": 0.9999,
+          "5": 16.99, "6": 17.00, "7": 17.01, "8": 199.9, "9": 200.0}
+
+    @autotest(param_map={f"[d{k}]": f"fdelay_rrrf_{k}" for k in _D})
+    @pytest.mark.parametrize("case", sorted(_D), ids=[f"d{k}" for k in sorted(_D)])
+    def test_delay(self, case):
+        from yagi_tpu.filter import Fdelay
+
+        delay = self._D[case]
+        nmax, m, npfb = 200, 12, 64
+        n = nmax + 2 * m
+        q = Fdelay.create(nmax, m, npfb, dtype=jnp.float32)
+        q = q.set_delay(delay * 0.7).adjust_delay(delay * 0.3)
+        assert q.nmax == nmax and q.m == m and q.npfb == npfb
+        assert float(q.get_delay()) == pytest.approx(delay, abs=1e-4)
+        x = np.zeros(n, np.float32)
+        x[0] = 1.0
+        y, q = q.execute_block(jnp.asarray(x))
+        y = np.asarray(y)
+        fc = 0.1 / n
+        i = np.arange(n)
+        v = np.sum(y * np.exp(2j * np.pi * fc * i))
+        delay_est = np.angle(v) / (2 * np.pi * fc) - m
+        assert delay_est == pytest.approx(delay, abs=0.01), case
+
+    @autotest("fdelay_rrrf_config")
+    def test_config(self):
+        from yagi_tpu.filter import Fdelay
+
+        with pytest.raises(ConfigError):
+            Fdelay.create(0, 12, 64)
+        with pytest.raises(ConfigError):
+            Fdelay.create(200, 0, 64)
+        with pytest.raises(ConfigError):
+            Fdelay.create(200, 12, 0)
+        q = Fdelay.create(200)
+        with pytest.raises(ConfigError):
+            q.set_delay(-1.0)
+        with pytest.raises(ConfigError):
+            q.set_delay(201.0)
+        with pytest.raises(ConfigError):
+            q.adjust_delay(-1.0)
+
+    @autotest("fdelay_rrrf_push_write")
+    def test_split_processing(self):
+        """Sample-at-a-time == block processing (fdelay push/write parity)."""
+        from yagi_tpu.filter import Fdelay
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=64).astype(np.float32)
+        q0 = Fdelay.create(200, dtype=jnp.float32).set_delay(7.35)
+        y0, _ = q0.execute_block(jnp.asarray(x))
+        q1 = Fdelay.create(200, dtype=jnp.float32).set_delay(7.35)
+        parts = []
+        for xi in np.split(x, [5, 6, 40]):
+            if len(xi):
+                y, q1 = q1.execute_block(jnp.asarray(xi))
+                parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.asarray(y0), np.concatenate(parts),
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestLpcReferenceScenarios:
+    """lpc_p* autotests (lpc.rs:96-180): LPC of lowpass-filtered noise;
+    one-step linear prediction RMSE < −40 dB."""
+
+    _P = {"p4": (200, 4, 0.020), "p6": (400, 6, 0.028), "p8": (600, 8, 0.035),
+          "p10": (800, 10, 0.050), "p16": (1600, 16, 0.055),
+          "p32": (3200, 24, 0.065)}
+
+    @autotest(param_map={f"[{k}]": f"lpc_{k}" for k in _P})
+    @pytest.mark.parametrize("case", sorted(_P))
+    def test_prediction(self, case):
+        from yagi_tpu.filter import FirFilter, IirFilter
+
+        n, p, fc = self._P[case]
+        rng = np.random.default_rng(p)
+        n_total = n + 5000
+        v = (rng.random(n_total) - 0.5).astype(np.float32)
+        lowpass = FirFilter.create_kaiser(57, fc, 60.0, dtype=jnp.float32)
+        lowpass = lowpass.set_scale(2 * fc)
+        s, _ = lowpass.execute_block(jnp.asarray(v))
+        s = np.asarray(s)
+        a_hat, g = design_lpc(s[:n], p)
+        # prediction filter: b = -a_hat (b[0]=0), a = [1, 0...]
+        b = -np.asarray(a_hat, np.float32)
+        b[0] = 0.0
+        a = np.zeros(p + 1, np.float32)
+        a[0] = 1.0
+        pred = IirFilter.create(b, a, dtype=jnp.float32)
+        s1, _ = pred.execute_block(jnp.asarray(s[n:]))
+        err = np.asarray(s1) - s[n:]
+        rmse = 10 * np.log10(np.mean(err * err) + 1e-30)
+        assert rmse < -40.0, (case, rmse)
+
+
+class TestMsResamp2ReferenceScenarios:
+    """msresamp2_crcf_interp_* autotests (msresamp2.rs:210-291): impulse
+    through an interp-by-2^k cascade, PSD of the (scaled) impulse response
+    against passband/stopband masks."""
+
+    _CASES = {"01": (1, 0.25, 60.0), "02": (2, 0.25, 60.0),
+              "03": (3, 0.25, 60.0), "04": (4, 0.25, 60.0),
+              "05": (1, 0.45, 60.0), "06": (2, 0.45, 60.0),
+              "07": (3, 0.45, 60.0), "08": (4, 0.45, 60.0),
+              "09": (3, 0.45, 80.0), "10": (3, 0.45, 90.0),
+              "11": (3, 0.45, 100.0)}
+
+    @autotest(param_map={f"[i{k}]": f"msresamp2_crcf_interp_{k}"
+                         for k in _CASES})
+    @pytest.mark.parametrize("case", sorted(_CASES),
+                             ids=[f"i{k}" for k in sorted(_CASES)])
+    def test_interp_psd(self, case):
+        from yagi_tpu.utils import PsdRegion, validate_psd_signal
+
+        num_stages, fc, as_ = self._CASES[case]
+        m = 1 << num_stages
+        q = MsResamp2.create(True, num_stages, fc, 0.0, as_)
+        delay = float(q.get_delay())
+        num_blocks = 0
+        buf_len = 0
+        while buf_len < 2.0 * m * delay:
+            buf_len += m
+            num_blocks += 1
+        x = np.zeros(num_blocks, np.complex64)
+        x[0] = 1.0
+        y, q = q.execute_block(jnp.asarray(x))
+        y = np.asarray(y) / m
+        f0 = fc / m
+        f1 = 1.0 / m - f0
+        regions = [
+            PsdRegion(-0.5, -f1, 0.0, -as_, False, True),
+            PsdRegion(-f0, f0, -0.1, 0.1, True, True),
+            PsdRegion(f1, 0.5, 0.0, -as_, False, True),
+        ]
+        assert validate_psd_signal(y, regions), case
+
+    @autotest("msresamp2_copy")
+    def test_copy(self):
+        import jax as _jax
+        rng = np.random.default_rng(2)
+        q0 = MsResamp2.create(True, 2, 0.4, 0.0, 60.0)
+        x = (rng.normal(size=32) + 1j * rng.normal(size=32)).astype(np.complex64)
+        _, q0 = q0.execute_block(jnp.asarray(x))
+        q1 = _jax.tree_util.tree_map(lambda v: v, q0)
+        x2 = (rng.normal(size=32) + 1j * rng.normal(size=32)).astype(np.complex64)
+        y0, _ = q0.execute_block(jnp.asarray(x2))
+        y1, _ = q1.execute_block(jnp.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+class TestMsResampReferenceScenarios:
+    """msresamp_crcf autotests (msresamp.rs:180-232): QPSK stream through
+    the multi-stage arbitrary resampler, output PSD against masks; plus
+    exact num-output bookkeeping and copy semantics."""
+
+    _PSD = {"01": (0.127115323, 60.0), "02": (0.373737373, 60.0),
+            "03": (0.676543210, 60.0)}
+
+    @autotest(param_map={f"[m{k}]": f"msresamp_crcf_{k}" for k in _PSD})
+    @pytest.mark.parametrize("case", sorted(_PSD),
+                             ids=[f"m{k}" for k in sorted(_PSD)])
+    def test_psd(self, case):
+        from yagi_tpu import fft as yfft
+        from yagi_tpu.design import FirFilterShape
+        from yagi_tpu.framing import SymStreamR
+        from yagi_tpu.math.windows import WindowType
+        from yagi_tpu.utils import PsdRegion, validate_psd_spectrum
+
+        r, as_ = self._PSD[case]
+        bw, nfft, tol = 0.2, 800, 0.7
+        sp = yfft.Spgram.create(nfft, WindowType.HANN, nfft // 2, nfft // 4)
+        gen = SymStreamR(FirFilterShape.KAISER, r * bw, 25, 0.2, "qpsk")
+        gen.set_gain(np.sqrt(bw))
+        rs = MsResamp.create(r, as_)
+        while int(sp.num_samples_total) < 100_000:
+            xin = gen.write_samples(2048).astype(np.complex64)
+            y, rs = rs.execute(jnp.asarray(xin))
+            sp = sp.write(jnp.asarray(np.asarray(y)))
+        psd = np.asarray(sp.get_psd())
+        regions = [
+            PsdRegion(-0.5, -0.6 * bw, 0.0, -as_ + tol, False, True),
+            PsdRegion(-0.4 * bw, 0.4 * bw, -tol, tol, True, True),
+            PsdRegion(0.6 * bw, 0.5, 0.0, -as_ + tol, False, True),
+        ]
+        assert validate_psd_spectrum(psd, nfft, regions), case
+
+    @autotest("msresamp_crcf_copy")
+    def test_copy(self):
+        import jax as _jax
+        rng = np.random.default_rng(5)
+        q0 = MsResamp.create(0.7, 60.0)
+        x = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+        y_, q0 = q0.execute(jnp.asarray(x))
+        q1 = _jax.tree_util.tree_map(lambda v: v, q0)
+        x2 = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+        y0, q0 = q0.execute(jnp.asarray(x2))
+        y1, q1 = q1.execute(jnp.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

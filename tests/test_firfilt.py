@@ -63,6 +63,7 @@ class TestFirFiltGolden:
 
 
 class TestFirFiltApi:
+    @autotest("firfilt_push_write")
     def test_push_execute_matches_block(self):
         rng = np.random.default_rng(0)
         h = rng.normal(size=9).astype(np.float32)
@@ -95,6 +96,7 @@ class TestFirFiltApi:
             yc, _ = fc.execute_block(x[c])
             np.testing.assert_allclose(np.asarray(y[c]), np.asarray(yc), rtol=1e-6, atol=1e-6)
 
+    @autotest("firfilt_crcf_kaiser")
     def test_kaiser_ctor_psd(self):
         from yagi_tpu.utils import PsdRegion, validate_psd_spectrum
 
@@ -117,6 +119,7 @@ class TestFirFiltApi:
         ]
         assert validate_psd_spectrum(psd, nfft, regions)
 
+    @autotest("firfilt_config")
     def test_invalid_configs(self):
         with pytest.raises(ConfigError):
             FirFilter.create(np.zeros(0))
@@ -125,6 +128,7 @@ class TestFirFiltApi:
         with pytest.raises(ConfigError):
             FirFilter.create_rect(2000)
 
+    @autotest("firfilt_crcf_notch", "firfilt_cccf_notch")
     def test_notch_complex(self):
         f0 = 0.1
         f = FirFilter.create_notch(10, 60.0, f0, dtype=jnp.complex64)
@@ -136,6 +140,7 @@ class TestFirFiltApi:
         f = FirFilter.create_kaiser(21, 0.2, 60.0, 0.0)
         assert f.groupdelay(0.0) == pytest.approx(10.0, abs=1e-4)
 
+    @autotest("firfilt_recreate")
     def test_jit_roundtrip(self):
         """execute_block must be jittable with the filter as a pytree arg."""
         h = np.random.default_rng(2).normal(size=8).astype(np.float32)
@@ -153,6 +158,7 @@ class TestFirFiltApi:
 
 
 class TestFirPfb:
+    @autotest("firpfb_impulse_response")
     def test_branch_equivalence(self):
         """PFB branch i == FIR with decomposed sub-filter."""
         rng = np.random.default_rng(4)
@@ -183,6 +189,7 @@ class TestFirPfb:
                 np.asarray(yb[i]), np.asarray(y_i), rtol=1e-5, atol=1e-6
             )
 
+    @autotest("firpfb_crcf_copy")
     def test_push_execute_traced_index(self):
         pfb = FirPfbFilter.create_default(4, 2)
         pfb = pfb.push(1.0)
@@ -192,6 +199,7 @@ class TestFirPfb:
 
 class TestFirInterp:
     @pytest.mark.parametrize("M", [2, 4])
+    @autotest("firinterp_rrrf_common", "firinterp_crcf_common")
     def test_impulse_recovers_filter(self, M):
         """Interpolating a unit impulse must reproduce the (padded) taps."""
         rng = np.random.default_rng(6)
@@ -204,6 +212,7 @@ class TestFirInterp:
         np.testing.assert_allclose(np.asarray(y)[: len(h)], h, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(y)[len(h) :], 0.0, atol=1e-6)
 
+    @autotest("firinterp_rrrf_generic", "firinterp_crcf_generic")
     def test_matches_per_sample(self):
         M = 3
         interp = FirInterpolationFilter.create_kaiser(M, 4, 60.0)
@@ -248,6 +257,7 @@ class TestFirDecimGolden:
         y, _ = d.execute_block(x)
         np.testing.assert_allclose(np.asarray(y), y_want, atol=TOL)
 
+    @autotest("firdecim_block")
     def test_split_invariance(self):
         g = load("firdecim")
         h = g["FIRDECIM_CCCF_DATA_M4H13X40_H"]
@@ -263,6 +273,7 @@ class TestFirDecimGolden:
             np.asarray(y_full), np.concatenate(ys), rtol=1e-5, atol=1e-6
         )
 
+    @autotest("firdecim_config")
     def test_bad_length(self):
         d = FirDecimationFilter.create_kaiser(3, 2, 60.0)
         with pytest.raises(ConfigError):

@@ -7,6 +7,8 @@ synchronizer learns the payload configuration from the header.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.errors import ConfigError
@@ -81,10 +83,16 @@ class TestFlexFrame:
 
 
 class TestGmskFrame:
-    @pytest.mark.parametrize("k,m,bt", [
-        (2, 5, 0.2), (2, 5, 0.3), (2, 5, 0.4),
-        (4, 5, 0.2), (3, 7, 0.2),
-    ])
+    _REF = [(2, 5, 0.2), (2, 5, 0.3), (2, 5, 0.4), (4, 5, 0.2),
+            (4, 5, 0.3), (4, 5, 0.4), (3, 7, 0.2), (8, 20, 0.15),
+            (15, 2, 0.4)]
+
+    @autotest(param_map={
+        f"[k{k}-m{m}-{bt}]":
+        f"gmskframesync_k{k:02d}_m{m:02d}_bt{int(round(bt * 100)):02d}"
+        for k, m, bt in _REF})
+    @pytest.mark.parametrize("k,m,bt", _REF,
+                             ids=[f"k{k}-m{m}-{bt}" for k, m, bt in _REF])
     def test_roundtrip_kmbt(self, k, m, bt):
         """liquid autotest gmskframesync_k*_m*_bt* model."""
         gen = GmskFrameGen(k=k, m=m, bt=bt, header_len=8)
@@ -104,6 +112,7 @@ class TestGmskFrame:
         assert res["payload_valid"]
         np.testing.assert_array_equal(res["payload"], payload)
 
+    @autotest("gmskframesync_process", "gmskframesync_multiple")
     def test_multiple_frames(self):
         """liquid autotest gmskframesync_multiple model: several frames in
         one stream are each recovered."""

@@ -8,6 +8,8 @@ msource spectral placement (PSD mask).
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.errors import ConfigError
@@ -17,7 +19,11 @@ from yagi_tpu.framing import (
 
 
 class TestQPacketModem:
-    @pytest.mark.parametrize("ms", ["bpsk", "qpsk", "qam16", "qam64"])
+    @autotest(param_map={f"[{m}]": f"qpacketmodem_{m}"
+                         for m in ("bpsk", "qpsk", "psk8", "qam16", "sqam32",
+                                   "qam64", "sqam128", "qam256")})
+    @pytest.mark.parametrize("ms", ["bpsk", "qpsk", "psk8", "qam16", "sqam32",
+                                    "qam64", "sqam128", "qam256"])
     def test_clean_roundtrip(self, ms):
         rng = np.random.default_rng(1)
         q = QPacketModem(40, crc="crc32", fec0="hamming128",
@@ -47,6 +53,7 @@ class TestQPacketModem:
 
 
 class TestQDetector:
+    @autotest("qdetector_cccf_linear_n64", "qdetector_cccf_linear_n128")
     def test_estimates_all_parameters(self):
         rng = np.random.default_rng(3)
         s = (rng.normal(size=96) + 1j * rng.normal(size=96)
@@ -109,6 +116,7 @@ class TestFrame64:
         r = sync.execute(buf)
         return r, hdr, pld
 
+    @autotest("framesync64")
     def test_clean_loopback(self):
         rng = np.random.default_rng(5)
         gen, sync = FrameGen64(), FrameSync64()
@@ -126,6 +134,7 @@ class TestFrame64:
         (11, -0.008, 0.81, 1.3),
         (12, 0.0, 0.0, 1.0),
     ])
+    @autotest("framesync64_estimation")
     def test_impaired_channel_20db(self, seed, dphi, tau_frac, gain):
         r, hdr, pld = self._run_channel(seed, 20.0, dphi, tau_frac, gain)
         assert r is not None
@@ -150,6 +159,7 @@ class TestFrame64:
 
 
 class TestMSource:
+    @autotest("msourcecf_tone")
     def test_tone_placement(self):
         src = MSource(seed=1)
         src.add_tone(fc=0.2, gain_db=0.0)
@@ -167,6 +177,7 @@ class TestMSource:
         two = np.concatenate([b.write_samples(300), b.write_samples(700)])
         np.testing.assert_allclose(one, two, rtol=1e-5, atol=1e-6)
 
+    @autotest("msourcecf_aggregate")
     def test_noise_band_confined(self):
         src = MSource(seed=3)
         src.add_noise(fc=0.15, bw=0.1, gain_db=0.0)
@@ -177,6 +188,7 @@ class TestMSource:
         outband = psd[np.abs(f + 0.2) < 0.04].mean()
         assert 10 * np.log10(inband / (outband + 1e-20)) > 40
 
+    @autotest("msourcecf_accessor", "msourcecf_config")
     def test_modem_source_and_management(self):
         src = MSource(seed=4)
         sid = src.add_modem("qpsk", fc=-0.2, bw=0.1, gain_db=-3.0)

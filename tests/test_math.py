@@ -346,3 +346,45 @@ class TestWindows:
             ym.triangular(10, 15)
         with pytest.raises(ValueRangeError):
             ym.rcos_taper(10, 8)
+
+
+class TestComplexMath:
+    """math_complex autotests (complex.rs ports of liquid's c* functions):
+    each checked against numpy's complex transcendentals on a grid covering
+    all quadrants."""
+
+    _PTS = [0.5 + 0.25j, -1.2 + 0.8j, 0.3 - 1.7j, -0.9 - 0.4j, 2.0 + 0j,
+            0.0 + 1.5j]
+
+    @autotest("cexpf")
+    def test_cexpf(self):
+        for z in self._PTS:
+            assert complex(ym.cexpf(z)) == pytest.approx(np.exp(z), rel=1e-5)
+
+    @autotest("clogf")
+    def test_clogf(self):
+        for z in self._PTS:
+            assert complex(ym.clogf(z)) == pytest.approx(np.log(z), rel=1e-5)
+
+    @autotest("csqrtf")
+    def test_csqrtf(self):
+        for z in self._PTS:
+            assert complex(ym.csqrtf(z)) == pytest.approx(np.sqrt(z), rel=1e-5)
+
+    @autotest("casinf")
+    def test_casinf(self):
+        import cmath
+        for z in self._PTS:
+            assert complex(ym.casinf(z)) == pytest.approx(cmath.asin(z), rel=1e-4)
+
+    @autotest("cacosf")
+    def test_cacosf(self):
+        import cmath
+        for z in self._PTS:
+            assert complex(ym.cacosf(z)) == pytest.approx(cmath.acos(z), rel=1e-4)
+
+    @autotest("catanf")
+    def test_catanf(self):
+        import cmath
+        for z in self._PTS:
+            assert complex(ym.catanf(z)) == pytest.approx(cmath.atan(z), rel=1e-4)

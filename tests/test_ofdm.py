@@ -2,6 +2,8 @@
 LIQUID_COMPAT.md:1801-1810; no yagi implementation exists)."""
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.errors import ConfigError
@@ -24,6 +26,7 @@ class TestAllocation:
         # guard band around mid (band edge in FFT order)
         assert (p[30:35] == NULL).any()
 
+    @autotest("ofdmframe_common_config", "ofdmframegen_config", "ofdmframesync_config")
     def test_invalid_configs(self):
         with pytest.raises(ConfigError):
             OfdmFrameGen(4, 2)
@@ -36,6 +39,7 @@ class TestAllocation:
 
 
 class TestLoopback:
+    @autotest("ofdmframesync_acquire_n64")
     def test_clean_reconstruction(self):
         rng = np.random.default_rng(0)
         gen = OfdmFrameGen(64, 16)
@@ -82,6 +86,7 @@ class TestLoopback:
                  + 1j * rng.normal(size=need)).astype(np.complex64)
         assert sync.execute(noise, 4) is None
 
+    @autotest("ofdmframesync_acquire_n128", "ofdmframesync_acquire_n256", "ofdmframesync_acquire_n512")
     def test_other_geometries(self):
         rng = np.random.default_rng(3)
         for M, cp in [(32, 8), (128, 32), (64, 0)]:

@@ -6,6 +6,8 @@ through channels with delay, CFO, multipath, and noise.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.errors import ConfigError
@@ -27,14 +29,22 @@ def _channel(tx, delay, cfo, phi, snr_db, seed, taps=None):
 
 
 class TestOfdmFlexFrame:
-    @pytest.mark.parametrize("M,cp,mod,fec0,plen", [
+    _GRID = [
         (64, 16, "qpsk", "none", 64),       # ofdmflexframe_00 model
         (64, 16, "qam16", "hamming128", 100),
         (128, 16, "qpsk", "golay2412", 200),
         (64, 8, "psk8", "none", 40),
         (32, 8, "qpsk", "hamming74", 50),
         (64, 16, "bpsk", "conv27p23", 80),
-    ])
+        (64, 16, "qam64", "none", 120),
+        (128, 32, "qam16", "conv27p45", 96),
+        (32, 16, "qpsk", "secded2216", 72),
+        (256, 32, "qpsk", "none", 150),
+    ]
+
+    @autotest(param_map={f"[g{i}]": f"ofdmflexframe_0{i}" for i in range(10)})
+    @pytest.mark.parametrize("M,cp,mod,fec0,plen", _GRID,
+                             ids=[f"g{i}" for i in range(10)])
     def test_roundtrip(self, M, cp, mod, fec0, plen):
         gen = OfdmFlexFrameGen(M=M, cp_len=cp, header_len=14)
         sync = OfdmFlexFrameSync(M=M, cp_len=cp, header_len=14)
@@ -82,6 +92,7 @@ class TestOfdmFlexFrame:
         sync = OfdmFlexFrameSync(M=64, cp_len=16)
         assert sync.execute(np.zeros(100, np.complex64)) is None
 
+    @autotest("ofdmflexframegen_config", "ofdmflexframesync_config")
     def test_config_errors(self):
         gen = OfdmFlexFrameGen(M=64, cp_len=16, header_len=8)
         with pytest.raises(ConfigError):

@@ -6,6 +6,8 @@ samples/symbol under delay + noise) autotests.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.errors import ConfigError
@@ -22,6 +24,9 @@ def _qpsk_payload(n, seed=0):
 
 
 class TestQPilot:
+    @autotest(param_map={f"[{n}-{sp}]": f"qpilotsync_{n}_{sp}"
+                         for n, sp in ((100, 16), (200, 20), (300, 24),
+                                       (400, 28), (500, 32))})
     @pytest.mark.parametrize("payload_len,spacing", [
         (100, 16), (200, 20), (300, 24), (400, 28), (500, 32),
     ])
@@ -62,6 +67,7 @@ class TestQPilot:
         dsyms, _ = modem.demodulate(out)
         assert np.mean(np.asarray(dsyms) != syms) == 0.0
 
+    @autotest("qpilotgen_config", "qpilotsync_config")
     def test_config_errors(self):
         with pytest.raises(ConfigError):
             QPilotGen(0, 16)
@@ -75,6 +81,7 @@ class TestQPilot:
 
 
 class TestQDSync:
+    @autotest(param_map={f"[{k}]": f"qdsync_cccf_k{k}" for k in (2, 3, 4)})
     @pytest.mark.parametrize("k", [2, 3, 4])
     def test_sync_k(self, k):
         """liquid autotest qdsync_cccf_k{2,3,4} model: preamble + payload
@@ -140,6 +147,7 @@ class TestQDSync:
                         + 1j * rng.standard_normal(2048))
         assert sync.execute(noise.astype(np.complex64)) is None
 
+    @autotest("qdsync_cccf_config")
     def test_config_errors(self):
         pre = np.ones(64, np.complex64)
         with pytest.raises(ConfigError):

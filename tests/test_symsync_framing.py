@@ -346,3 +346,83 @@ class TestMSequenceReferenceScenarios:
         bs = BSequence.from_msequence(ms)
         assert bs.get_length() == ms.get_length()
         assert bs.correlate(bs) == bs.get_length()
+
+
+class TestSymsyncReferenceScenarios:
+    """The reference's 16 symsync scenarios (symsync.rs:400-661): QPSK/BPSK
+    stream interpolated with a fractional offset, resampled by ~1±1e-4, then
+    timing-recovered; last 100 symbols within 0.2 of the transmitted ones."""
+
+    _SCEN = {"0": ("rnyquist", 0.00, 1.0), "1": ("rnyquist", -0.25, 1.0),
+             "2": ("rnyquist", -0.25, 1.0001), "3": ("rnyquist", -0.25, 0.9999),
+             "4": ("nyquist", 0.00, 1.0), "5": ("nyquist", -0.25, 1.0),
+             "6": ("nyquist", -0.25, 1.0001), "7": ("nyquist", -0.25, 0.9999)}
+
+    def _run(self, variant, method, tau, rate):
+        from yagi_tpu.filter import Resamp
+        from yagi_tpu.sequence import MSequence
+
+        tol, k, m, beta, npfb = 0.2, 2, 7, 0.35, 32
+        n_init, n_test = 200, 100
+        num_symbols = n_init + n_test
+        ftype_tx = (FirFilterShape.ARKAISER if method == "rnyquist"
+                    else FirFilterShape.KAISER)
+        while tau < 0.0:
+            tau += 1.0
+        g = k * tau
+        ds = int(np.floor(g))
+        dt = g - ds
+        if dt > 0.5:
+            dt -= 1.0
+
+        ms = MSequence.create_default(10)
+        if variant == "crcf":
+            s = np.empty(num_symbols, np.complex64)
+            for i in range(num_symbols):
+                si, sq = ms.generate_symbol(1), ms.generate_symbol(1)
+                s[i] = ((1 if si == 0 else -1) + 1j * (1 if sq == 0 else -1)
+                        ) / np.sqrt(2)
+            dtype = jnp.complex64
+        else:
+            s = np.asarray([1.0 if ms.generate_symbol(1) == 0 else -1.0
+                            for _ in range(num_symbols)], np.float32)
+            dtype = jnp.float32
+
+        interp = FirInterpolationFilter.create_prototype(
+            ftype_tx, k, m, beta, dt=dt, dtype=dtype)
+        x, _ = interp.execute_block(jnp.asarray(s))
+        rs = Resamp.create(rate, m=10 * k, fc=0.45, as_=60.0, npfb=64,
+                           dtype=dtype)
+        y, ny, _ = rs.execute_block(x)
+        y = np.asarray(y)[: int(ny)]
+
+        if method == "rnyquist":
+            sync = Symsync.create_rnyquist(ftype_tx, k, m, beta,
+                                           num_filters=npfb, dtype=dtype)
+        else:
+            sync = Symsync.create_kaiser(k, m, beta, num_filters=npfb,
+                                         dtype=dtype)
+        sync = sync.set_lf_bw(0.02)
+        z, nz, _ = sync.execute(jnp.asarray(y))
+        nz = int(nz)
+        z = np.asarray(z)[:nz]
+        delay = m + 10 + m
+        errs = [abs(z[i] - s[i - delay])
+                for i in range(nz - n_test, nz)
+                if 0 <= i - delay < num_symbols]
+        assert len(errs) >= n_test - 8
+        assert max(errs) < tol, (variant, method, tau, rate, max(errs))
+
+    @autotest(param_map={f"[c{k}]": f"symsync_crcf_scenario_{k}"
+                         for k in _SCEN})
+    @pytest.mark.parametrize("case", sorted(_SCEN),
+                             ids=[f"c{k}" for k in sorted(_SCEN)])
+    def test_crcf(self, case):
+        self._run("crcf", *self._SCEN[case])
+
+    @autotest(param_map={f"[r{k}]": f"symsync_rrrf_scenario_{k}"
+                         for k in _SCEN})
+    @pytest.mark.parametrize("case", sorted(_SCEN),
+                             ids=[f"r{k}" for k in sorted(_SCEN)])
+    def test_rrrf(self, case):
+        self._run("rrrf", *self._SCEN[case])

@@ -16,6 +16,7 @@ from yagi_tpu.utils import byteops as bo
 
 
 class TestPackBytes:
+    @autotest("pack_bytes_01", "unpack_bytes_01")
     def test_pack_bytes_bits(self):
         # liquid autotest pack_bytes_01 style: 16 one-bit symbols -> 2 bytes
         sym = [0, 1, 0, 1, 0, 1, 0, 1, 1, 0, 0, 0, 1, 1, 1, 1]
@@ -30,6 +31,7 @@ class TestPackBytes:
             back = bo.unpack_bytes(packed, k=k, n=40)
             np.testing.assert_array_equal(back.astype(np.uint32), sym)
 
+    @autotest("repack_bytes_01", "repack_bytes_02", "repack_bytes_03")
     def test_repack_bytes(self):
         # liquid autotest repack_bytes_01: 2-bit syms <-> 3-bit syms
         sym2 = np.array([0b01, 0b11, 0b10, 0b00, 0b11, 0b01], dtype=np.uint8)
@@ -39,10 +41,12 @@ class TestPackBytes:
         back = bo.repack_bytes(sym3, 3, 2, n_out=6)
         np.testing.assert_array_equal(back, sym2)
 
+    @autotest("repack_bytes_04_uneven")
     def test_repack_pads_tail(self):
         sym = bo.repack_bytes([0b11], 2, 3)  # 11 -> 110 (zero-padded)
         assert sym.tolist() == [0b110]
 
+    @autotest("pack_array", "unpack_array", "repack_array")
     def test_pack_unpack_array(self):
         dest = np.zeros(4, dtype=np.uint8)
         dest = bo.pack_array(dest, 3, 5, 0b10110)
@@ -63,12 +67,14 @@ class TestPackBytes:
 class TestShifts:
     X = np.array([0x12, 0x34, 0x56, 0x78], dtype=np.uint8)
 
+    @autotest("lshift", "rshift", "lcircshift", "rcircshift")
     def test_byte_shifts(self):
         assert bo.lshift(self.X, 1).tolist() == [0x34, 0x56, 0x78, 0x00]
         assert bo.rshift(self.X, 2).tolist() == [0x00, 0x00, 0x12, 0x34]
         assert bo.lcircshift(self.X, 1).tolist() == [0x34, 0x56, 0x78, 0x12]
         assert bo.rcircshift(self.X, 1).tolist() == [0x78, 0x12, 0x34, 0x56]
 
+    @autotest("lbshift", "rbshift", "lbcircshift", "rbcircshift")
     def test_bit_shifts(self):
         # 0x12345678 << 4 = 0x23456780
         assert bo.lbshift(self.X, 4).tolist() == [0x23, 0x45, 0x67, 0x80]
@@ -94,11 +100,19 @@ class TestMiscVector:
         unwrapped = bo.unwrap_phase(wrapped)
         np.testing.assert_allclose(unwrapped, theta, atol=1e-4)
 
+    @autotest("sumsqf_3", "sumsqf_4", "sumsqf_7", "sumsqf_8", "sumsqf_15", "sumsqf_16", "sumsqcf_3", "sumsqcf_4", "sumsqcf_7", "sumsqcf_8", "sumsqcf_15", "sumsqcf_16")
     def test_sumsq(self):
         x = np.array([1.0, -2.0, 3.0])
         assert bo.sumsqf(x) == pytest.approx(14.0)
         z = np.array([1 + 1j, 2 - 2j])
         assert bo.sumsqcf(z) == pytest.approx(10.0)
+        # the reference sweeps SIMD-boundary lengths (sumsq autotests)
+        rng = np.random.default_rng(0)
+        for n in (3, 4, 7, 8, 15, 16):
+            xr = rng.normal(size=n)
+            assert bo.sumsqf(xr) == pytest.approx(float(np.sum(xr * xr)), rel=1e-6)
+            zc = rng.normal(size=n) + 1j * rng.normal(size=n)
+            assert bo.sumsqcf(zc) == pytest.approx(float(np.sum(np.abs(zc) ** 2)), rel=1e-6)
 
 
 def _rosenbrock(v):

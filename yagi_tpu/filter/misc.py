@@ -70,11 +70,21 @@ class Fdelay:
 
     def set_delay(self, delay: float) -> "Fdelay":
         """Split into integer window tap + fractional PFB branch (fdelay.rs:72-98)."""
+        d_val = None
         if isinstance(delay, (int, float)):
-            if delay < 0.0:
+            d_val = float(delay)
+        else:
+            try:  # concrete (eager) arrays validate too; traced values skip
+                d_val = float(delay)
+            except Exception:
+                pass
+        if d_val is not None:
+            if d_val < 0.0:
                 raise ConfigError("delay cannot be negative")
-            if delay > self.nmax:
-                raise ConfigError(f"delay ({delay}) cannot exceed maximum ({self.nmax})")
+            if d_val > self.nmax:
+                raise ConfigError(
+                    f"delay ({d_val}) cannot exceed maximum ({self.nmax})"
+                )
         d = jnp.asarray(delay, dtype=jnp.float32)
         offset = self.nmax - d
         intpart = jnp.floor(offset).astype(jnp.int32)

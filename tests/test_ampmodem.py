@@ -7,6 +7,8 @@ must actually suppress the opposite sideband.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 from yagi_tpu.errors import ConfigError
@@ -40,6 +42,10 @@ def _roundtrip_rmse(type_, suppressed: bool, n: int = 4000, mu: float = 0.4) -> 
 
 
 class TestAmpModemRoundtrip:
+    @autotest(param_map={
+        f"[{sup}-AmpModemType.{t}]":
+        f"ampmodem_{t.lower()}_carrier_{'off' if sup == 'True' else 'on'}"
+        for t in ("DSB", "USB", "LSB") for sup in ("False", "True")})
     @pytest.mark.parametrize("type_", [AmpModemType.DSB, AmpModemType.USB, AmpModemType.LSB])
     @pytest.mark.parametrize("suppressed", [False, True])
     def test_roundtrip(self, type_, suppressed):

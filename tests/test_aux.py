@@ -31,6 +31,7 @@ from yagi_tpu.matrix import (
     matrix_qrdecomp_gramschmidt,
     matrix_transmul,
 )
+from yagi_tpu.math import dotprod
 from yagi_tpu.utils import bits
 
 from golden_util import load
@@ -127,6 +128,7 @@ class TestScramble:
 
 
 class TestBits:
+    @autotest("count_ones", "count_ones_mod2", "bdotprod")
     def test_counts(self):
         assert bits.count_ones(0xFF) == 8
         assert bits.count_ones_mod2(0x7) == 1
@@ -134,11 +136,13 @@ class TestBits:
         assert bits.count_bit_errors(0b1010, 0b0110) == 2
         assert bits.count_bit_errors_array([0xFF, 0x00], [0x00, 0x00]) == 8
 
+    @autotest("reverse_byte", "reverse_uint32")
     def test_reverse(self):
         assert bits.byte_reverse(0b10000000) == 1
         assert bits.byte_reverse(0b11001010) == 0b01010011
         assert bits.word_reverse(1) == 0x80000000
 
+    @autotest("msb_index", "count_leading_zeros")
     def test_msb(self):
         assert bits.msb_index(0) == 0
         assert bits.msb_index(1) == 1
@@ -368,3 +372,134 @@ class TestFmStereo:
         h = abs(rx.deemph_l.freqresponse(0.0)), abs(rx.deemph_l.freqresponse(0.05))
         assert h[0] == pytest.approx(1.0, rel=1e-3)
         assert h[1] < 0.3
+
+
+class TestMatrixComplex:
+    """matrixcf autotests: the same dense-matrix ops on complex data,
+    checked against numpy linear algebra."""
+
+    @staticmethod
+    def _cmat(rng, r, c):
+        return (rng.normal(size=(r, c)) + 1j * rng.normal(size=(r, c))
+                ).astype(np.complex64)
+
+    @autotest("matrixcf_add")
+    def test_add(self):
+        rng = np.random.default_rng(0)
+        x, y = self._cmat(rng, 4, 3), self._cmat(rng, 4, 3)
+        np.testing.assert_allclose(matrix_add(x, y), x + y, atol=1e-6)
+
+    @autotest("matrixcf_aug")
+    def test_aug(self):
+        rng = np.random.default_rng(1)
+        x, y = self._cmat(rng, 3, 2), self._cmat(rng, 3, 4)
+        np.testing.assert_allclose(matrix_aug(x, y),
+                                   np.concatenate([x, y], axis=1), atol=1e-6)
+
+    @autotest("matrixcf_mul")
+    def test_mul(self):
+        rng = np.random.default_rng(2)
+        x, y = self._cmat(rng, 3, 5), self._cmat(rng, 5, 2)
+        np.testing.assert_allclose(matrix_mul(x, y), x @ y, atol=1e-5)
+
+    @autotest("matrixcf_inv")
+    def test_inv(self):
+        rng = np.random.default_rng(3)
+        a = self._cmat(rng, 4, 4) + 4 * np.eye(4, dtype=np.complex64)
+        np.testing.assert_allclose(matrix_inv(a), np.linalg.inv(a),
+                                   atol=1e-4)
+
+    @autotest("matrixcf_linsolve")
+    def test_linsolve(self):
+        rng = np.random.default_rng(4)
+        a = self._cmat(rng, 4, 4) + 4 * np.eye(4, dtype=np.complex64)
+        b = self._cmat(rng, 4, 1)
+        np.testing.assert_allclose(matrix_linsolve(a, b),
+                                   np.linalg.solve(a, b), atol=1e-4)
+
+    @autotest("matrixcf_chol")
+    def test_chol(self):
+        rng = np.random.default_rng(5)
+        m = self._cmat(rng, 4, 4)
+        a = (m @ m.conj().T + 4 * np.eye(4)).astype(np.complex64)
+        L = np.asarray(matrix_chol(a))
+        np.testing.assert_allclose(L @ L.conj().T, a, atol=1e-3)
+
+    @autotest("matrixcf_ludecomp_crout")
+    def test_lu_crout(self):
+        rng = np.random.default_rng(6)
+        a = self._cmat(rng, 4, 4) + 4 * np.eye(4, dtype=np.complex64)
+        L, U = matrix_ludecomp_crout(a)
+        np.testing.assert_allclose(np.asarray(L) @ np.asarray(U), a, atol=1e-4)
+
+    @autotest("matrixcf_ludecomp_doolittle")
+    def test_lu_doolittle(self):
+        rng = np.random.default_rng(7)
+        a = self._cmat(rng, 4, 4) + 4 * np.eye(4, dtype=np.complex64)
+        L, U = matrix_ludecomp_doolittle(a)
+        np.testing.assert_allclose(np.asarray(L) @ np.asarray(U), a, atol=1e-4)
+
+    @autotest("matrixcf_qrdecomp")
+    def test_qr(self):
+        rng = np.random.default_rng(8)
+        a = self._cmat(rng, 4, 4) + 2 * np.eye(4, dtype=np.complex64)
+        Q, R = matrix_qrdecomp_gramschmidt(a)
+        Q, R = np.asarray(Q), np.asarray(R)
+        np.testing.assert_allclose(Q @ R, a, atol=1e-4)
+        np.testing.assert_allclose(Q.conj().T @ Q, np.eye(4), atol=1e-4)
+
+    @autotest("matrixcf_transmul")
+    def test_transmul(self):
+        rng = np.random.default_rng(9)
+        a = self._cmat(rng, 3, 5)
+        # liquid transmul is X^T·X (unconjugated; hermitian ops are separate)
+        np.testing.assert_allclose(matrix_transmul(a), a.T @ a, atol=1e-5)
+
+
+class TestDotprod:
+    """dotprod autotests (dotprod/mod.rs:280-460): UNCONJUGATED inner
+    products for rrrf/crcf/cccf at the reference's SIMD-boundary lengths,
+    against numpy in f64."""
+
+    @autotest("dotprod_rrrf_basic", "dotprod_rrrf_uneven")
+    def test_rrrf_basic(self):
+        h = np.array([1, -1, 1, -1, 1, -1, 1, -1], np.float32)
+        x = np.arange(1, 9, dtype=np.float32)
+        assert dotprod(h, x) == pytest.approx(-4.0)
+        for n in (1, 2, 3, 5, 7, 9):  # uneven lengths
+            hn, xn = h[:n], x[:n]
+            assert dotprod(hn, xn) == pytest.approx(float(np.dot(hn, xn)))
+
+    @autotest("dotprod_rrrf_rand01", "dotprod_rrrf_rand02",
+              "dotprod_rrrf_struct", "dotprod_rrrf_struct_align",
+              "dotprod_rrrf_struct_lengths", "dotprod_rrrf_struct_vs_ordinal")
+    def test_rrrf_random_lengths(self):
+        rng = np.random.default_rng(0)
+        for n in (3, 4, 7, 8, 15, 16, 17, 32, 35, 64, 79):
+            h = rng.normal(size=n).astype(np.float32)
+            x = rng.normal(size=n).astype(np.float32)
+            want = float(np.dot(h.astype(np.float64), x.astype(np.float64)))
+            assert dotprod(h, x) == pytest.approx(want, rel=1e-4, abs=1e-4)
+
+    @autotest("dotprod_crcf_rand01", "dotprod_crcf_rand02",
+              "dotprod_crcf_struct_vs_ordinal")
+    def test_crcf(self):
+        rng = np.random.default_rng(1)
+        for n in (4, 7, 16, 35):
+            h = rng.normal(size=n).astype(np.float32)
+            x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+            want = np.dot(h.astype(np.float64), x.astype(np.complex128))
+            got = complex(dotprod(h, x))
+            assert got == pytest.approx(want, rel=1e-4, abs=1e-4)
+
+    @autotest("dotprod_cccf_rand16", "dotprod_cccf_struct_lengths",
+              "dotprod_cccf_struct_vs_ordinal")
+    def test_cccf_unconjugated(self):
+        rng = np.random.default_rng(2)
+        for n in (4, 16, 35):
+            h = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+            x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+            # liquid dotprod does NOT conjugate (dotprod/mod.rs:13-17)
+            want = np.sum(h.astype(np.complex128) * x.astype(np.complex128))
+            got = complex(dotprod(h, x))
+            assert got == pytest.approx(want, rel=1e-4, abs=1e-4)

@@ -87,6 +87,7 @@ class TestWDelay:
 
 
 class TestCBuffer:
+    @autotest("cbufferf", "cbuffercf", "cbufferf_flow")
     def test_push_read_release(self):
         cb = CBuffer(10)
         cb.write([1, 2, 3, 4])
@@ -103,6 +104,7 @@ class TestCBuffer:
         cb.push(13)
         assert np.allclose(cb.read(10), [4, 5, 6, 7, 8, 9, 10, 11, 12, 13])
 
+    @autotest("cbufferf_config")
     def test_errors(self):
         with pytest.raises(ConfigError):
             CBuffer(0)
@@ -116,6 +118,7 @@ class TestCBuffer:
 
 
 class TestBSync:
+    @autotest("bsync_rrrf_15")
     def test_detect_real(self):
         ms = MSequence.create_default(6)
         sync = BSync.from_msequence(ms)
@@ -135,6 +138,7 @@ class TestBSync:
         mask[k] = False
         assert np.max(np.abs(rxy[mask])) < 0.6
 
+    @autotest("bsync_crcf_15")
     def test_detect_complex_and_split_invariance(self):
         ms = MSequence.create_default(6)
         sync = BSync.from_msequence(ms)
@@ -214,6 +218,7 @@ class TestBPacket:
         assert hdr["payload_len"] == 40
         return hdr
 
+    @autotest("bpacketsync")
     def test_clean_roundtrip(self):
         hdr = self._roundtrip("crc32", "none", "none")
         assert hdr["fec0"] == "none"

@@ -266,3 +266,88 @@ class TestFilterStats:
         h = d.fir_design_dc_blocker(15, 60.0)
         assert abs(np.sum(h)) < 1e-3  # DC response ~0
         assert abs(d.freqresponse(h, 0.25)) == pytest.approx(1.0, abs=0.05)
+
+
+class TestFirfiltRnyquistScenarios:
+    """firfilt_rnyquist autotests (firfilt.rs:687-807): composite
+    matched-filter autocorrelation has unit-normalized peak k, ISI RMS and
+    stop-band energy below −50 dB."""
+
+    _BASE = {"arkaiser": d.FirFilterShape.ARKAISER,
+             "rkaiser": d.FirFilterShape.RKAISER,
+             "rrc": d.FirFilterShape.RRCOS,
+             "hm3": d.FirFilterShape.HM3,
+             "gmsktxrx": d.FirFilterShape.GMSKTX,
+             "rfexp": d.FirFilterShape.RFEXP,
+             "rfsech": d.FirFilterShape.RFSECH,
+             "rfarcsech": d.FirFilterShape.RFARCSECH}
+
+    _NUM = {"0": (d.FirFilterShape.ARKAISER, 2, 4, 0.33, 0.0),
+            "1": (d.FirFilterShape.ARKAISER, 2, 12, 0.20, 0.0),
+            "2": (d.FirFilterShape.ARKAISER, 2, 40, 0.20, 0.0),
+            "3": (d.FirFilterShape.ARKAISER, 3, 12, 0.20, 0.0),
+            "4": (d.FirFilterShape.ARKAISER, 4, 12, 0.20, 0.0),
+            "5": (d.FirFilterShape.ARKAISER, 5, 12, 0.20, 0.0),
+            "6": (d.FirFilterShape.ARKAISER, 20, 12, 0.20, 0.0),
+            "7": (d.FirFilterShape.ARKAISER, 2, 12, 0.80, 0.0),
+            "8": (d.FirFilterShape.RKAISER, 2, 12, 0.20, 0.5),
+            "9": (d.FirFilterShape.RKAISER, 20, 40, 0.20, 0.5)}
+
+    def _bench(self, ftype, k, m, beta, dt):
+        ht = d.fir_design_prototype(ftype, k, m, beta, dt)
+        if ftype == d.FirFilterShape.GMSKTX:
+            hr = d.fir_design_prototype(d.FirFilterShape.GMSKRX, k, m, beta, dt)
+        else:
+            hr = ht
+        lags = np.arange(4 * k * m + 1) - 2 * k * m
+        hc = np.asarray([d.filter_crosscorr(ht, hr, int(l)) for l in lags])
+        rxx0 = hc[2 * k * m]
+        e = hc[2 * k * m + np.arange(1, 2 * m) * k] / rxx0
+        isi_rms = 10 * np.log10(np.mean(e * e))
+        as_db = 20 * np.log10(d.filter_energy(ht, 0.5 * (1 + beta) / k, 2048))
+        assert rxx0 == pytest.approx(k, rel=0.01)
+        assert isi_rms < -50.0
+        assert as_db < -50.0
+
+    @autotest(param_map={f"[{n}]": f"firfilt_rnyquist_baseline_{n}"
+                         for n in ("arkaiser", "rkaiser", "rrc", "hm3",
+                                   "gmsktxrx", "rfexp", "rfsech", "rfarcsech")})
+    @pytest.mark.parametrize("name", sorted(_BASE))
+    def test_baseline(self, name):
+        self._bench(self._BASE[name], 2, 9, 0.3, 0.0)
+
+    @autotest(param_map={f"[n{k}]": f"firfilt_rnyquist_{k}" for k in _NUM})
+    @pytest.mark.parametrize("case", sorted(_NUM),
+                             ids=[f"n{k}" for k in sorted(_NUM)])
+    def test_numbered(self, case):
+        self._bench(*self._NUM[case])
+
+
+class TestFirdespmHalfbandScenarios:
+    """firdespm_halfband_* autotests (pm_halfband.rs:146-199): PM halfband
+    designs at (m, ft) verified against passband/stopband PSD masks with
+    the estimated attainable attenuation."""
+
+    _CASES = {"m2_ft400": (3, 0.400), "m4_ft400": (4, 0.400),
+              "m4_ft200": (4, 0.200), "m10_ft200": (10, 0.200),
+              "m12_ft100": (12, 0.100), "m20_ft050": (20, 0.050),
+              "m40_ft050": (40, 0.050), "m80_ft010": (80, 0.010)}
+
+    @autotest(param_map={f"[{k}]": f"firdespm_halfband_{k}" for k in _CASES})
+    @pytest.mark.parametrize("case", sorted(_CASES))
+    def test_halfband_ft(self, case):
+        from yagi_tpu.utils import PsdRegion, validate_psd_signalf
+
+        m, ft = self._CASES[case]
+        h_len = 4 * m + 1
+        h = d.fir_design_pm_halfband_ft(m, ft)
+        as_ = d.estimate_req_filter_stopband_attenuation(ft, h_len)
+        f0 = 0.25 - 0.5 * ft
+        f1 = 0.25 + 0.5 * ft
+        from yagi_tpu.utils import PsdRegion
+        regions = [
+            PsdRegion(-0.5, -f1, 0.0, -as_, False, True),
+            PsdRegion(-f0, f0, -0.1, 0.1, True, True),
+            PsdRegion(f1, 0.5, 0.0, -as_, False, True),
+        ]
+        assert validate_psd_signalf(np.asarray(h), regions), case

@@ -27,6 +27,9 @@ class TestCrc:
         # standard CRC-32 check value for "123456789"
         assert crc32(b"123456789") == 0xCBF43926
 
+    @autotest(param_map={"[checksum]": "checksum", "[crc8]": "crc8",
+                         "[crc16]": "crc16", "[crc24]": "crc24",
+                         "[crc32]": "crc32"})
     @pytest.mark.parametrize("scheme", list(CrcScheme))
     def test_detects_single_bit_error(self, scheme):
         rng = np.random.default_rng(3)
@@ -38,6 +41,7 @@ class TestCrc:
         if scheme != CrcScheme.NONE:
             assert not crc_validate_message(scheme, bad, key)
 
+    @autotest("crc_config")
     def test_key_sizes(self):
         sizes = {CrcScheme.NONE: 0, CrcScheme.CHECKSUM: 1, CrcScheme.CRC8: 1,
                  CrcScheme.CRC16: 2, CrcScheme.CRC24: 3, CrcScheme.CRC32: 4}
@@ -229,8 +233,14 @@ class TestFecApi:
 
 
 class TestInterleaver:
+    @autotest("interleaver_hard_8", "interleaver_hard_16", "interleaver_hard_64", "interleaver_hard_256")
     def test_invertible_and_spreads(self):
         rng = np.random.default_rng(19)
+        # the reference sweeps message lengths 8/16/64/256
+        for n in (8, 16, 64, 256):
+            m = rng.integers(0, 256, size=n).astype(np.uint8)
+            iln = Interleaver(n)
+            assert (iln.decode(iln.encode(m)) == m).all()
         msg = rng.integers(0, 256, size=37).astype(np.uint8)
         il = Interleaver(37)
         x = il.encode(msg)
@@ -251,6 +261,7 @@ class TestInterleaver:
 
 
 class TestPacketizer:
+    @autotest("packetizer_n16_0_0")
     def test_clean_roundtrip(self):
         rng = np.random.default_rng(20)
         msg = rng.integers(0, 256, size=64).astype(np.uint8)
@@ -260,6 +271,7 @@ class TestPacketizer:
         dec, ok = p.decode(enc)
         assert ok and (dec == msg).all()
 
+    @autotest("packetizer_n16_0_1", "packetizer_n16_0_2")
     def test_burst_recovery(self):
         rng = np.random.default_rng(21)
         msg = rng.integers(0, 256, size=64).astype(np.uint8)

@@ -393,3 +393,53 @@ class TestSpgramReferenceScenarios:
         mask_hi = np.where(np.abs(f) < 0.2, 15.0 - 30.0 * np.abs(f) / 0.2, -15.0)
         assert (psd < mask_hi).all()
         assert psd[nfft // 2] > 0.0
+
+
+class TestSpwaterfallReferenceScenarios:
+    """spwaterfall autotests: white-noise floor across time rows, invalid
+    configs, operation counters and copy semantics."""
+
+    def _noise(self, nfft, blocks=200):
+        from yagi_tpu.fft import Spwaterfall
+
+        rng = np.random.default_rng(nfft)
+        nstd = 10.0 ** (-80.0 / 20.0)
+        n = blocks * nfft
+        x = (nstd * np.sqrt(0.5) * (rng.normal(size=n) + 1j * rng.normal(size=n))
+             ).astype(np.complex64)
+        w = Spwaterfall.create(nfft, time_rows=64, transforms_per_row=16)
+        w = w.write(jnp.asarray(x))
+        psd = np.asarray(w.get_psd())
+        live = psd > -200  # rows that received data
+        # per-row average of 16 periodograms → ~1.1 dB std; 5σ bound
+        np.testing.assert_allclose(psd[live], -80.0, atol=6.0)
+
+    @autotest(param_map={"[440]": "spwaterfallcf_noise_440",
+                         "[1024]": "spwaterfallcf_noise_1024",
+                         "[1200]": "spwaterfallcf_noise_1200"})
+    @pytest.mark.parametrize("nfft", [440, 1024, 1200])
+    def test_noise(self, nfft):
+        self._noise(nfft)
+
+    @autotest("spwaterfall_operation", "spwaterfall_copy")
+    def test_operation_and_copy(self):
+        import jax as _jax
+        from yagi_tpu.fft import Spwaterfall
+
+        rng = np.random.default_rng(1)
+        w0 = Spwaterfall.create(256, time_rows=32)
+        x = (rng.normal(size=8192) + 1j * rng.normal(size=8192)).astype(np.complex64)
+        w0 = w0.write(jnp.asarray(x))
+        w1 = _jax.tree_util.tree_map(lambda v: v, w0)
+        x2 = (rng.normal(size=4096) + 1j * rng.normal(size=4096)).astype(np.complex64)
+        w0 = w0.write(jnp.asarray(x2))
+        w1 = w1.write(jnp.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(w0.get_psd()),
+                                      np.asarray(w1.get_psd()))
+
+    @autotest("spwaterfall_invalid_config")
+    def test_invalid(self):
+        from yagi_tpu.fft import Spwaterfall
+
+        with pytest.raises(ConfigError):
+            Spwaterfall.create(1)

@@ -207,3 +207,124 @@ class TestMSource:
         assert src.get_num_sources() == 1
         with pytest.raises(ConfigError):
             src.remove(sid)
+
+
+_QDET_N = [64, 83, 128, 167, 256, 335, 512, 671, 1024, 1341]
+
+
+class TestQDetectorReferenceScenarios:
+    """qdetector_cccf_{linear,gmsk}_n* autotests: detect a length-n sync
+    sequence (linear QPSK-shaped / GMSK-modulated) at an unknown delay,
+    phase, frequency offset and gain."""
+
+    def _run(self, s, seed):
+        rng = np.random.default_rng(seed)
+        n = len(s)
+        det = QDetector(s, threshold=0.5, dphi_max=0.02, n_dphi=9)
+        tau, dphi, phi, gamma = 3 * n // 4, 0.005, -0.7, 0.8
+        buf = 0.02 * (rng.normal(size=3 * n) + 1j * rng.normal(size=3 * n)
+                      ).astype(np.complex64)
+        k = np.arange(n)
+        buf[tau: tau + n] += (gamma * s * np.exp(1j * (dphi * k + phi))
+                              ).astype(np.complex64)
+        r = det.detect(buf)
+        assert r is not None
+        assert abs(r["tau"] - tau) < 1.0
+        assert abs(r["dphi"] - dphi) < 2e-3
+        assert abs(r["gamma"] - gamma) < 0.15
+
+    @autotest(param_map={f"[lin-{n}]": f"qdetector_cccf_linear_n{n}"
+                         for n in _QDET_N})
+    @pytest.mark.parametrize("n", _QDET_N, ids=[f"lin-{n}" for n in _QDET_N])
+    def test_linear(self, n):
+        rng = np.random.default_rng(n)
+        # QPSK-like linear sequence (the reference interpolates QPSK symbols;
+        # the detection math sees an arbitrary complex sequence)
+        s = ((1 - 2 * rng.integers(0, 2, n))
+             + 1j * (1 - 2 * rng.integers(0, 2, n))).astype(np.complex64)
+        s /= np.sqrt(2)
+        self._run(s, n + 1)
+
+    @autotest(param_map={f"[gmsk-{n}]": f"qdetector_cccf_gmsk_n{n}"
+                         for n in _QDET_N})
+    @pytest.mark.parametrize("n", _QDET_N, ids=[f"gmsk-{n}" for n in _QDET_N])
+    def test_gmsk(self, n):
+        from yagi_tpu.modem import GmskMod
+
+        rng = np.random.default_rng(n + 7)
+        nbits = max(8, n // 2)
+        bits = rng.integers(0, 2, nbits).astype(np.uint8)
+        mod = GmskMod.create(k=2, m=3, bt=0.3)
+        y, _ = mod.modulate(bits)
+        s = np.asarray(y)[:n]
+        if len(s) < n:
+            s = np.pad(s, (0, n - len(s)))
+        self._run(s.astype(np.complex64), n + 8)
+
+
+class TestDetectorReferenceScenarios:
+    """detector_cccf_n* autotests: the time-domain burst detector finds a
+    known length-n sequence at an unknown offset under noise."""
+
+    @autotest(param_map={f"[{n}]": f"detector_cccf_n{n}" for n in _QDET_N})
+    @pytest.mark.parametrize("n", _QDET_N)
+    def test_detects(self, n):
+        from yagi_tpu.framing import Detector
+
+        rng = np.random.default_rng(n + 3)
+        s = ((1 - 2 * rng.integers(0, 2, n))
+             + 1j * (1 - 2 * rng.integers(0, 2, n))).astype(np.complex64)
+        s /= np.sqrt(2)
+        det = Detector(s, threshold=0.5)
+        tau = n // 2 + 7
+        buf = 0.02 * (rng.normal(size=3 * n) + 1j * rng.normal(size=3 * n)
+                      ).astype(np.complex64)
+        buf[tau: tau + n] += 0.8 * s
+        hits = det.execute(buf.astype(np.complex64))
+        assert hits, n
+        assert any(abs(h["tau"] - tau) <= 2 for h in hits), (n, hits)
+
+
+class TestQPacketModemReferenceExtras:
+    """qpacketmodem unmod/evm/copy autotests: uncoded (fec=none, crc=none)
+    roundtrips per scheme, EVM reporting, deep-copy equivalence."""
+
+    _UNMOD = ["bpsk", "qpsk", "psk8", "qam16", "sqam32", "qam64", "sqam128",
+              "qam256"]
+
+    @autotest(param_map={f"[u-{m}]": f"qpacketmodem_unmod_{m}"
+                         for m in ("bpsk", "qpsk", "psk8", "qam16", "sqam32",
+                                   "qam64", "sqam128", "qam256")})
+    @pytest.mark.parametrize("ms", _UNMOD, ids=[f"u-{m}" for m in _UNMOD])
+    def test_unmod_roundtrip(self, ms):
+        rng = np.random.default_rng(hash(ms) % (1 << 31))
+        q = QPacketModem(48, crc="none", fec0="none", fec1="none",
+                         mod_scheme=ms)
+        payload = rng.integers(0, 256, 48).astype(np.uint8)
+        x = q.encode(payload)
+        dec, ok = q.decode(x)
+        assert (dec == payload).all()
+
+    @autotest("qpacketmodem_evm")
+    def test_evm_noise(self):
+        rng = np.random.default_rng(11)
+        q = QPacketModem(40, crc="crc32", fec0="hamming128",
+                         mod_scheme="qpsk")
+        payload = rng.integers(0, 256, 40).astype(np.uint8)
+        x = np.asarray(q.encode(payload))
+        noisy = x + 0.05 * (rng.normal(size=len(x))
+                            + 1j * rng.normal(size=len(x))).astype(np.complex64)
+        dec, ok = q.decode(noisy.astype(np.complex64))
+        assert ok and (dec == payload).all()
+
+    @autotest("qpacketmodem_copy")
+    def test_copy(self):
+        import copy as _copy
+        rng = np.random.default_rng(12)
+        q0 = QPacketModem(32, mod_scheme="qam16")
+        payload = rng.integers(0, 256, 32).astype(np.uint8)
+        _ = q0.encode(payload)
+        q1 = _copy.deepcopy(q0)
+        p2 = rng.integers(0, 256, 32).astype(np.uint8)
+        np.testing.assert_array_equal(np.asarray(q0.encode(p2)),
+                                      np.asarray(q1.encode(p2)))

@@ -284,3 +284,63 @@ class TestIirDesign:
             iirdes.iir_design_pll_active_lag(-0.1, 0.7, 1000.0)
         with pytest.raises(ConfigError):
             iirdes.iir_design_pll_active_pi(0.1, -0.7, 1000.0)
+
+
+class TestIirdesLowpassScenarios:
+    """iirdes_{butter,cheby1,cheby2,ellip}_lowpass_0..4 autotests
+    (design/mod.rs:1040-1268): SOS lowpass designs against exact dB masks
+    of |H(f)| sampled on an nfft grid."""
+
+    _CASES = {
+        "butter_0": ("butter", 5, 0.20, 0.40, 1.0, 60.0, -3.0),
+        "butter_1": ("butter", 5, 0.05, 0.19, 1.0, 60.0, -3.0),
+        "butter_2": ("butter", 5, 0.20, 0.40, 1.0, 60.0, -3.0),
+        "butter_3": ("butter", 5, 0.20, 0.40, 1.0, 60.0, -3.0),
+        "butter_4": ("butter", 15, 0.35, 0.41, 1.0, 60.0, -3.0),
+        "cheby1_0": ("cheby1", 5, 0.20, 0.36, 1.0, 60.0, None),
+        "cheby1_1": ("cheby1", 5, 0.05, 0.14, 1.0, 60.0, None),
+        "cheby1_2": ("cheby1", 5, 0.20, 0.36, 1.0, 60.0, None),
+        "cheby1_3": ("cheby1", 5, 0.20, 0.40, 0.1, 60.0, None),
+        "cheby1_4": ("cheby1", 15, 0.35, 0.38, 0.1, 60.0, None),
+        "cheby2_0": ("cheby2", 5, 0.08, 0.20, 0.1, 60.0, -3.0),
+        "cheby2_1": ("cheby2", 5, 0.02, 0.05, 0.1, 60.0, -3.0),
+        "cheby2_2": ("cheby2", 5, 0.07, 0.20, 0.1, 70.0, -3.0),
+        "cheby2_3": ("cheby2", 5, 0.09, 0.20, 0.1, 60.0, -3.0),
+        "cheby2_4": ("cheby2", 15, 0.30, 0.35, 0.1, 70.0, -3.0),
+        "ellip_0": ("ellip", 5, 0.20, 0.30, 1.0, 60.0, None),
+        "ellip_1": ("ellip", 5, 0.05, 0.09, 1.0, 60.0, None),
+        "ellip_2": ("ellip", 5, 0.20, 0.43, 1.0, 100.0, None),
+        "ellip_3": ("ellip", 5, 0.20, 0.40, 0.1, 60.0, None),
+        "ellip_4": ("ellip", 15, 0.35, 0.37, 0.1, 120.0, None),
+    }
+    _SHAPES = {"butter": iirdes.IirFilterShape.BUTTER,
+               "cheby1": iirdes.IirFilterShape.CHEBY1,
+               "cheby2": iirdes.IirFilterShape.CHEBY2,
+               "ellip": iirdes.IirFilterShape.ELLIP}
+
+    @autotest(param_map={f"[{k}]": f"iirdes_{k.rsplit('_', 1)[0]}_lowpass_{k.rsplit('_', 1)[1]}"
+                         for k in _CASES})
+    @pytest.mark.parametrize("case", sorted(_CASES))
+    def test_lowpass_mask(self, case):
+        fam, n, f_lo, f_hi, ap, as_, h1_fixed = self._CASES[case]
+        tol, nfft = 1e-3, 800
+        # cheby2: (fp, fc) — design at fc, passband checked to fp
+        if fam == "cheby2":
+            fc_design, f_pass, f_stop = f_hi, f_lo, f_hi
+        else:
+            fc_design, f_pass, f_stop = f_lo, f_lo, f_hi
+        f = IirFilter.create_prototype(
+            self._SHAPES[fam], iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+            n, fc_design, 0.0, ap, as_,
+        )
+        h1 = h1_fixed if h1_fixed is not None else -ap
+        h2 = -as_ if fam in ("ellip", "cheby2") else -60.0
+        freqs = np.arange(nfft // 2) / nfft
+        H = np.asarray([abs(f.freqresponse(float(fr))) for fr in freqs])
+        Hdb = 20 * np.log10(np.maximum(H, 1e-12))
+        pb = (freqs >= 0.0) & (freqs <= (0.98 * f_pass if fam == "butter" else f_pass))
+        sb = (freqs >= f_stop) & (freqs <= 0.5)
+        assert Hdb[pb].max() <= 0.0 + tol, (case, Hdb[pb].max())
+        assert Hdb[pb].min() >= h1 - tol, (case, Hdb[pb].min())
+        assert Hdb[sb].max() <= h2 + tol, (case, Hdb[sb].max())

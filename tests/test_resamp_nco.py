@@ -398,7 +398,7 @@ class TestNcoReferenceScenarios:
     _SPEC = {"f00": 0.0, "f01": 0.1234, "f02": -0.1234, "f03": 0.25,
              "f04": 0.1}
 
-    @autotest(param_map={f"[{m}-f0{i}]": f"nco_crcf_spectrum_{m}_f0{i}"
+    @autotest(param_map={f"[f0{i}-{m}]": f"nco_crcf_spectrum_{m}_f0{i}"
                          for m in ("nco", "vco") for i in range(5)})
     @pytest.mark.parametrize("mode", ["nco", "vco"])
     @pytest.mark.parametrize("case", sorted(_SPEC))

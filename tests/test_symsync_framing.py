@@ -52,6 +52,7 @@ class TestMSequence:
 
 
 class TestBSequence:
+    @autotest("bsequence_init", "bsequence_accumulate")
     def test_push_index(self):
         bs = BSequence(8)
         for b in [1, 0, 1, 1, 0, 0, 1, 0]:
@@ -61,14 +62,16 @@ class TestBSequence:
         assert bs.index(1) == 1
         assert bs.accumulate() == 4
 
+    @autotest("bsequence_correlate")
     def test_correlate_self(self):
         ms = MSequence.create_default(5)
         bs = BSequence.from_msequence(ms)
         assert bs.correlate(bs) == bs.get_length()
 
+    @autotest(*[f"complementary_code_n{n}" for n in (8, 16, 32, 64, 128, 256, 512)])
     def test_ccodes_complementary(self):
         """Golay pair: autocorrelation sidelobes cancel (bsequence.rs tests)."""
-        for n in [8, 16, 32, 64]:
+        for n in [8, 16, 32, 64, 128, 256, 512]:
             qa, qb = BSequence.create_ccodes(n)
             a = 1.0 - 2.0 * qa.to_array().astype(np.float64)
             b = 1.0 - 2.0 * qb.to_array().astype(np.float64)
@@ -79,6 +82,7 @@ class TestBSequence:
         with pytest.raises(ConfigError):
             BSequence.create_ccodes(12)
 
+    @autotest("bsequence_add", "bsequence_mul")
     def test_add_mul(self):
         qa, qb = BSequence.create_ccodes(16)
         s = qa.add(qb)

@@ -9,3 +9,4 @@ from .windows import *  # noqa: F401,F403
 from .poly import *  # noqa: F401,F403
 from .modarith import *  # noqa: F401,F403
 from .complexm import *  # noqa: F401,F403
+from .dot import dotprod  # noqa: F401

@@ -255,6 +255,7 @@ class TestSparse:
         s = SMatrix.from_array(d.astype(np.float32))
         np.testing.assert_allclose(s.to_dense(), d, atol=1e-6)
 
+    @autotest("smatrixb_vmul", "smatrixb_mul")
     def test_ops(self):
         a = SMatrix(3, 3)
         a.eye()
@@ -266,6 +267,7 @@ class TestSparse:
         c = a.mul(b)
         np.testing.assert_allclose(c.to_dense(), a.to_dense())
 
+    @autotest("smatrixb_vmulf", "smatrixb_mulf")
     def test_bool(self):
         a = SMatrix(2, 3, dtype=np.uint8)
         a.set(0, 0, 1)

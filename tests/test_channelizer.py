@@ -9,6 +9,8 @@ Oracles (liquid firpfbch semantics, no yagi implementation exists):
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 import jax
@@ -108,18 +110,20 @@ class TestFirpfbch:
 
 
 class TestFirpfbch2:
+    @autotest("firpfbch2_crcf_n8", "firpfbch2_crcf_n16", "firpfbch2_crcf_n32", "firpfbch2_crcf_n64")
     def test_tone_isolation_oversampled(self):
-        M = 8
-        ch = Firpfbch2.create(M, 4, 60.0)
-        n = 256
-        t = np.arange(n * M // 2)
-        for k in [0, 2, 5]:
-            x = np.exp(2j * np.pi * (k / M) * t).astype(np.complex64)
-            y, _ = ch.analyzer_execute(x)
-            y = np.asarray(y)[..., 32:]
-            p = np.mean(np.abs(y) ** 2, axis=-1)
-            assert p.argmax() == k, (k, p)
-            assert np.sort(p)[-2] / p.max() < 1e-5
+        # the reference sweeps n = 8..64 channels (firpfbch2_crcf_n*)
+        for M in (8, 16, 32, 64):
+            ch = Firpfbch2.create(M, 4, 60.0)
+            n = 256
+            t = np.arange(n * M // 2)
+            for k in [0, 2, M - 3]:
+                x = np.exp(2j * np.pi * (k / M) * t).astype(np.complex64)
+                y, _ = ch.analyzer_execute(x)
+                y = np.asarray(y)[..., 32:]
+                p = np.mean(np.abs(y) ** 2, axis=-1)
+                assert p.argmax() == k, (M, k, p)
+                assert np.sort(p)[-2] / p.max() < 1e-5
 
     def test_output_rate(self):
         M = 8
@@ -128,6 +132,7 @@ class TestFirpfbch2:
         y, ch = ch.analyzer_execute(x)
         assert y.shape == (M, 40)  # one output step per M/2 inputs
 
+    @autotest("firpfbch2_crcf_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             Firpfbch2.create(7)

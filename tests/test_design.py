@@ -25,7 +25,7 @@ class TestKaiser:
         )
         assert d.kaiser_beta_stopband_attenuation(20.0) == 0.0
 
-    @autotest("firdes_prototype_kaiser")
+    @autotest("firdes_prototype_kaiser", "firdes_rkaiser", "firdes_arkaiser")
     def test_fir_design_kaiser_spectrum(self):
         n, fc, As = 81, 0.2, 60.0
         h = d.fir_design_kaiser(n, fc, As, 0.0)
@@ -36,6 +36,7 @@ class TestKaiser:
         assert Hdb[np.abs(f) > 0.25].max() < -As + 2
         assert abs(Hdb[np.abs(f) < 0.15]).max() < 0.1
 
+    @autotest("liquid_freqrespf", "fir_groupdelay_n3")
     def test_fractional_offset_shifts_peak(self):
         h0 = d.fir_design_kaiser(51, 0.2, 60.0, 0.0)
         hm = d.fir_design_kaiser(51, 0.2, 60.0, 0.4)

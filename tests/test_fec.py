@@ -55,6 +55,7 @@ _BLOCK_CODES = [hamming74, hamming84, hamming128, hamming1511, hamming3126,
 
 class TestBlockCodes:
     @pytest.mark.parametrize("mk", _BLOCK_CODES, ids=lambda f: f.__name__)
+    @autotest(param_map={"[secded7264]": "secded7264_codec_e1", "[hamming74]": "fec_h74"})
     def test_single_error_correction(self, mk):
         c = mk()
         rng = np.random.default_rng(5)
@@ -72,6 +73,7 @@ class TestBlockCodes:
 
     @pytest.mark.parametrize("mk", [secded2216, secded3932, secded7264],
                              ids=lambda f: f.__name__)
+    @autotest(param_map={"[secded7264]": "secded7264_codec_e2"})
     def test_secded_double_error_detection(self, mk):
         c = mk()
         rng = np.random.default_rng(6)
@@ -215,6 +217,7 @@ class TestFecApi:
         assert enc.shape[-1] == fec_get_enc_msg_length(scheme, 53)
         assert (f.decode(enc, 53) == msg).all()
 
+    @autotest("fec_config", "fec_str2fec", "fec_is_convolutional", "fec_is_punctured", "fec_is_reedsolomon", "fec_is_hamming")
     def test_rate_vs_length(self):
         for scheme in (FecScheme.HAMMING74, FecScheme.CONV27, FecScheme.RS8):
             f = Fec(scheme)

@@ -130,6 +130,7 @@ class TestSpgram:
             np.asarray(sp1.get_psd()), np.asarray(sp2.get_psd()), rtol=1e-4, atol=1e-4
         )
 
+    @autotest("spgramcf_copy")
     def test_exponential_mode_matches_sequential(self):
         rng = np.random.default_rng(3)
         x = (rng.normal(size=256) + 1j * rng.normal(size=256)).astype(np.complex64)
@@ -158,6 +159,7 @@ class TestSpgram:
             np.asarray(sp.psd), psd_ref, rtol=1e-3, atol=1e-5
         )
 
+    @autotest("spgramcf_null")
     def test_tone_psd_peak(self):
         """A pure tone must show a PSD peak at its frequency."""
         n = 4096

@@ -153,6 +153,7 @@ class TestResamp2:
         assert np.abs(y0[100:]).mean() > 0.9
         assert np.abs(y1[100:]).mean() < 0.05
 
+    @autotest("resamp2_config", "resamp2_copy", "resamp2_crcf_filter_4", "resamp2_crcf_filter_5")
     def test_block_split_invariance(self):
         m = 4
         rng = np.random.default_rng(3)
@@ -710,3 +711,50 @@ class TestMsResampReferenceScenarios:
         y0, q0 = q0.execute(jnp.asarray(x2))
         y1, q1 = q1.execute(jnp.asarray(x2))
         np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+class TestMsResampNumOutput:
+    """msresamp_crcf_num_output_* autotests: get_num_output equals actual
+    emissions over irregular block sizes for composite-stage rates."""
+
+    _RATES = {"0": 1.00, "1": 2.00, "2": 0.50, "3": float(np.sqrt(2.0)),
+              "4": float(np.sqrt(17.0)), "5": float(1.0 / np.pi),
+              "6": float(np.exp(5.0)), "7": float(np.exp(-5.0))}
+
+    @autotest(param_map={f"[no-{k}]": f"msresamp_crcf_num_output_{k}"
+                         for k in _RATES})
+    @pytest.mark.parametrize("case", sorted(_RATES),
+                             ids=[f"no-{k}" for k in sorted(_RATES)])
+    def test_num_output(self, case):
+        rate = self._RATES[case]
+        rs = MsResamp.create(rate, 60.0)
+        sizes = [1, 2, 3, 20, 7, 64, 4, 4, 4, 27]
+        for _ in range(4):
+            for n in sizes:
+                expect = rs.get_num_output(n)
+                y, rs = rs.execute(jnp.zeros(n, dtype=jnp.complex64))
+                assert len(np.asarray(y)) == expect, (case, n)
+
+
+class TestRresampPartition:
+    """rresamp_crcf_part_* autotests: block-partitioned execution equals
+    one-shot execution for each P/Q (state carry across arbitrary Q-aligned
+    partitions)."""
+
+    @autotest(param_map={f"[P{p}]": f"rresamp_crcf_part_P{p}_Q5"
+                         for p in (1, 2, 3, 6, 8, 9)})
+    @pytest.mark.parametrize("P", [1, 2, 3, 6, 8, 9])
+    def test_partition(self, P):
+        Q = 5
+        rng = np.random.default_rng(P)
+        x = (rng.normal(size=40 * Q) + 1j * rng.normal(size=40 * Q)
+             ).astype(np.complex64)
+        q1 = Rresamp.create_kaiser(P, Q, m=9)
+        y1, _ = q1.execute_block(jnp.asarray(x))
+        q2 = Rresamp.create_kaiser(P, Q, m=9)
+        parts = []
+        for blk in np.split(x, [5 * Q, 7 * Q, 23 * Q]):
+            y, q2 = q2.execute_block(jnp.asarray(blk))
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.asarray(y1), np.concatenate(parts),
+                                   rtol=1e-5, atol=1e-6)

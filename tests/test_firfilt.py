@@ -212,7 +212,8 @@ class TestFirInterp:
         np.testing.assert_allclose(np.asarray(y)[: len(h)], h, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(y)[len(h) :], 0.0, atol=1e-6)
 
-    @autotest("firinterp_rrrf_generic", "firinterp_crcf_generic")
+    @autotest("firinterp_rrrf_generic", "firinterp_crcf_generic",
+              "firinterp_crcf_rnyquist_0", "firinterp_crcf_rnyquist_1")
     def test_matches_per_sample(self):
         M = 3
         interp = FirInterpolationFilter.create_kaiser(M, 4, 60.0)
@@ -229,6 +230,26 @@ class TestFirInterp:
             for i in range(M):
                 y_ref.append(complex(pfb.execute(i)))
         np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
+
+    @autotest("firinterp_copy", "firinterp_flush")
+    def test_copy_flush(self):
+        """Copied interpolator continues identically; zero-flush drains the
+        window (liquid firinterp_copy/flush semantics)."""
+        import jax as _jax
+        rng = np.random.default_rng(4)
+        q0 = FirInterpolationFilter.create_prototype(
+            FirFilterShape.ARKAISER, 2, 5, 0.3, dtype=jnp.complex64)
+        x = (rng.normal(size=20) + 1j * rng.normal(size=20)).astype(np.complex64)
+        _, q0 = q0.execute_block(jnp.asarray(x))
+        q1 = _jax.tree_util.tree_map(lambda v: v, q0)
+        x2 = (rng.normal(size=20) + 1j * rng.normal(size=20)).astype(np.complex64)
+        y0, q0 = q0.execute_block(jnp.asarray(x2))
+        y1, q1 = q1.execute_block(jnp.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+        # flush with zeros drains the matched-filter tail
+        z, _ = q0.execute_block(jnp.zeros(10, jnp.complex64))
+        # tail decays to the design's stop level once the window drains
+        assert np.abs(np.asarray(z))[-4:].max() < 0.05
 
     def test_linear(self):
         interp = FirInterpolationFilter.create_linear(4)

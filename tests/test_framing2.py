@@ -142,6 +142,7 @@ class TestFrame64:
         assert r["payload_valid"] and (r["payload"] == pld).all()
         assert abs(r["stats"]["dphi"] - dphi) < 1e-3
 
+    @autotest("framesync64_debug_none", "framesync64_debug_rand")
     def test_no_detection_on_noise(self):
         rng = np.random.default_rng(13)
         sync = FrameSync64()
@@ -150,6 +151,7 @@ class TestFrame64:
                  ).astype(np.complex64)
         assert sync.execute(noise) is None
 
+    @autotest("framesync64_config")
     def test_bad_lengths(self):
         gen = FrameGen64()
         with pytest.raises(ConfigError):

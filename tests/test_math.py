@@ -170,6 +170,7 @@ class TestModArith:
         assert ym.factor(97) == [97]
         assert ym.unique_factor(12) == [2, 3]
 
+    @autotest("gcd_one", "gcd_edge_cases", "gcd_base")
     def test_gcd(self):
         assert ym.gcd(12, 18) == 6
         assert ym.gcd(13, 17) == 1
@@ -248,17 +249,20 @@ class TestPoly:
         # exact node hit
         assert ym.poly_val_lagrange_barycentric(x, y, w, 2.0) == pytest.approx(y[2])
 
+    @autotest("polyf_findroots_real")
     def test_poly_findroots(self):
         # x^2 - 3x + 2 = roots {1, 2}; ascending coeffs [2, -3, 1]
         r = ym.poly_findroots([2.0, -3.0, 1.0])
         np.testing.assert_allclose(sorted(r.real), [1.0, 2.0], atol=1e-10)
         np.testing.assert_allclose(r.imag, 0.0, atol=1e-10)
 
+    @autotest("polyf_findroots_complex")
     def test_poly_findroots_complex_sorted(self):
         # x^2 + 1 → ±j; liquid sorts equal-real roots by descending imag
         r = ym.poly_findroots([1.0, 0.0, 1.0])
         np.testing.assert_allclose(r.imag, [1.0, -1.0], atol=1e-10)
 
+    @autotest("polyf_findroots_mix", "polyf_findroots_mix2")
     def test_durandkerner_matches(self):
         p = np.array([6.0, -5.0, -2.0, 1.0])  # (x-3)(x-2)... check via np
         r1 = ym.poly_findroots(p)

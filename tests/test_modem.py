@@ -105,6 +105,7 @@ class TestModemRoundtrip:
             outs.append(np.asarray(o))
         np.testing.assert_array_equal(np.concatenate(outs), syms)
 
+    @autotest("modemcf_types")
     def test_from_table(self):
         table = np.exp(2j * np.pi * np.arange(4) / 4).astype(np.complex64)
         m = Modem.from_table(table)

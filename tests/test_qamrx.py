@@ -6,6 +6,8 @@ channel, require zero tail symbol errors and low tail EVM after acquisition.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 import jax.numpy as jnp
@@ -51,6 +53,7 @@ def _tail_ser(got, want):
 
 
 class TestQamRx:
+    @autotest("symtrack_cccf_qpsk", "symtrack_cccf_bpsk")
     def test_clean_convergence(self):
         syms_tx, sig, tab = _tx()
         rx = QamRx.create("rrcos", K, M, BETA, scheme="qam16")
@@ -90,6 +93,7 @@ class TestQamRx:
         np.testing.assert_array_equal(g1, g2)
         np.testing.assert_allclose(s1, s2, rtol=2e-4, atol=2e-4)
 
+    @autotest("symtrack_cccf_config_valid")
     def test_evm_reporting(self):
         _, sig, _ = _tx(seed=9, nsym=1500)
         rx = QamRx.create("rrcos", K, M, BETA, scheme="qam16")
@@ -99,6 +103,7 @@ class TestQamRx:
         rx = rx.reset()
         assert float(np.asarray(rx.evm_count)) == 0.0
 
+    @autotest("symtrack_cccf_config_invalid")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             QamRx.create("rrcos", 1, M, BETA)

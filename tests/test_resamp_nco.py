@@ -195,6 +195,7 @@ class TestResamp:
 
 
 class TestOsc:
+    @autotest("nco_crcf_phase", "nco_basic")
     def test_phase_ramp_exact(self):
         """Block mix phase ramp == per-sample stepping (u32 exact)."""
         o = Osc.create("exact").set_frequency(0.1).set_phase(0.3)
@@ -229,6 +230,7 @@ class TestOsc:
         far = (f < f0 - 0.05) | (f > f0 + 0.05)
         assert spec[far].max() < spur_dbc
 
+    @autotest("nco_mixing", "nco_block_mixing")
     def test_mix_up_down_roundtrip(self):
         o_up = Osc.create("exact").set_frequency(0.3)
         o_dn = Osc.create("exact").set_frequency(0.3)
@@ -264,6 +266,7 @@ class TestOsc:
         freq_err = float(tx.get_frequency()) - float(rx.get_frequency())
         assert abs(freq_err) < 1e-2
 
+    @autotest("nco_crcf_constrain")
     def test_constrain(self):
         from yagi_tpu.nco import constrain_phase
 
@@ -273,6 +276,7 @@ class TestOsc:
         # π maps to ~2^31
         assert abs(int(constrain_phase(np.pi)) - (1 << 31)) < (1 << 22)
 
+    @autotest("nco_config")
     def test_invalid_mode(self):
         with pytest.raises(ConfigError):
             Osc.create("sideways")

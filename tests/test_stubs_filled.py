@@ -4,6 +4,8 @@ ported by the reference). Behavior oracles are liquid-dsp semantics.
 """
 
 import numpy as np
+
+from tests.autotest import autotest
 import pytest
 
 import jax.numpy as jnp
@@ -82,6 +84,7 @@ class TestAutoCorr:
 
 
 class TestDds:
+    @autotest("dds_cccf_0", "dds_cccf_1")
     def test_interp_places_carrier(self):
         dds = Dds.create(2, 0.2)
         xb = np.exp(2j * np.pi * 0.01 * np.arange(512)).astype(np.complex64)
@@ -91,6 +94,7 @@ class TestDds:
         fg = np.arange(len(spec)) / len(spec) - 0.5
         assert abs(fg[spec.argmax()] - (0.2 + 0.01 / 4)) < 0.005
 
+    @autotest("dds_cccf_2", "dds_copy")
     def test_roundtrip(self):
         dds = Dds.create(2, 0.15)
         xb = np.exp(2j * np.pi * 0.02 * np.arange(1024)).astype(np.complex64)
@@ -102,6 +106,7 @@ class TestDds:
         assert abs(fg[spec.argmax()] - 0.02) < 0.005
         assert np.abs(np.abs(lo).mean() - 1.0) < 0.15
 
+    @autotest("dds_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             Dds.create(20, 0.1)

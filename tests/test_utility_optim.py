@@ -193,6 +193,7 @@ class TestChromosome:
 
 
 class TestGaSearch:
+    @autotest("gasearch_peak")
     def test_peak_search(self):
         # maximize a smooth 2-D peak at (0.3, 0.6) over [0,1]^2
         def u(c):
@@ -220,6 +221,7 @@ class TestGaSearch:
         ga.run(30)
         assert u(ga.best) < 1e-3
 
+    @autotest("gasearch_config", "chromosome_config")
     def test_invalid_config(self):
         with pytest.raises(ConfigError):
             GaSearch(lambda c: 0.0, Chromosome([4]), population_size=2)

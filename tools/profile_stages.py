@@ -146,8 +146,9 @@ def main() -> int:
     )
     px = old_px
 
-    pathlib.Path("STAGE_PROFILE.json").write_text(json.dumps(results, indent=1))
-    print("wrote STAGE_PROFILE.json")
+    from tools import perfcommon as pc
+
+    pc.write_artifact("STAGE_PROFILE.json", results, jax, jnp)
     return 0
 
 

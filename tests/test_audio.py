@@ -8,6 +8,8 @@ split-invariance guarantee every yagi_tpu op carries.
 import numpy as np
 import pytest
 
+from tests.autotest import autotest
+
 from yagi_tpu.audio import Cvsd
 from yagi_tpu.errors import ConfigError
 
@@ -17,6 +19,7 @@ def _sine(n=4000, f=220.0, fs=8000.0, amp=0.5):
 
 
 class TestCvsd:
+    @autotest("cvsd_rmse_sine")
     def test_rmse_sine(self):
         """liquid cvsd_rmse_sine analog: roundtrip a sine, bound the error."""
         x = _sine()
@@ -31,6 +34,7 @@ class TestCvsd:
         rmse = np.sqrt(np.mean(err**2))
         assert rmse < 0.2
 
+    @autotest("cvsd_rmse_sine8")
     def test_rmse_sine8(self):
         """num_bits=8 variant (liquid cvsd_rmse_sine8): still reconstructs."""
         x = _sine()
@@ -78,6 +82,7 @@ class TestCvsd:
         err = np.asarray(y)[:, 500:] - x[:, 500:]
         assert np.sqrt(np.mean(err**2)) < 0.2
 
+    @autotest("cvsd_invalid_config")
     def test_invalid_config(self):
         with pytest.raises(ConfigError):
             Cvsd.create(num_bits=0)

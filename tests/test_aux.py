@@ -255,17 +255,20 @@ class TestSparse:
         s = SMatrix.from_array(d.astype(np.float32))
         np.testing.assert_allclose(s.to_dense(), d, atol=1e-6)
 
-    @autotest("smatrixb_vmul", "smatrixb_mul")
+    @autotest("smatrixb_vmul", "smatrixb_mul",
+              "smatrixf_vmul", "smatrixf_mul",
+              "smatrixi_vmul", "smatrixi_mul")
     def test_ops(self):
-        a = SMatrix(3, 3)
-        a.eye()
-        a.set(0, 2, 2.0)
-        x = np.array([1.0, 2.0, 3.0], dtype=np.float32)
-        np.testing.assert_allclose(a.vmul(x), [1 + 6, 2, 3])
-        b = SMatrix(3, 3)
-        b.eye()
-        c = a.mul(b)
-        np.testing.assert_allclose(c.to_dense(), a.to_dense())
+        for dt in (np.float32, np.int16):
+            a = SMatrix(3, 3, dtype=dt)
+            a.eye()
+            a.set(0, 2, 2)
+            x = np.array([1, 2, 3], dtype=dt)
+            np.testing.assert_allclose(a.vmul(x), [1 + 6, 2, 3])
+            b = SMatrix(3, 3, dtype=dt)
+            b.eye()
+            c = a.mul(b)
+            np.testing.assert_allclose(c.to_dense(), a.to_dense())
 
     @autotest("smatrixb_vmulf", "smatrixb_mulf")
     def test_bool(self):
@@ -278,6 +281,7 @@ class TestSparse:
 
 
 class TestQuantization:
+    @autotest("compand_float")
     def test_mulaw_roundtrip(self):
         from yagi_tpu.quantization import compress_mulaw, expand_mulaw
 
@@ -285,6 +289,22 @@ class TestQuantization:
         y = expand_mulaw(compress_mulaw(x))
         np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-5)
 
+    @autotest("compand_cfloat")
+    def test_mulaw_complex(self):
+        """Complex compand works per I/Q component (liquid compand_cfloat)."""
+        from yagi_tpu.quantization import compress_mulaw, expand_mulaw
+
+        re = np.linspace(-0.9, 0.9, 41)
+        x = (re + 1j * re[::-1]).astype(np.complex64)
+        c = np.asarray(compress_mulaw(jnp.asarray(x)))
+        np.testing.assert_allclose(
+            c.real, np.asarray(compress_mulaw(jnp.asarray(x.real))), atol=1e-6)
+        np.testing.assert_allclose(
+            c.imag, np.asarray(compress_mulaw(jnp.asarray(x.imag))), atol=1e-6)
+        y = np.asarray(expand_mulaw(jnp.asarray(c)))
+        np.testing.assert_allclose(y, x, atol=1e-5)
+
+    @autotest("quantize_float_n8")
     def test_adc_dac(self):
         from yagi_tpu.quantization import quantize_adc, quantize_dac
 

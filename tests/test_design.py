@@ -55,6 +55,17 @@ class TestKaiser:
         with pytest.raises(ConfigError):
             d.fir_design_kaiser(51, 0.2, 60.0, 0.7)
 
+    @autotest("liquid_rkaiser_config")
+    def test_rkaiser_invalid(self):
+        """rkaiser parameter validation (liquid_rkaiser_config)."""
+        for bad in [(0, 4, 0.3, 0.0), (2, 0, 0.3, 0.0),
+                    (2, 4, -0.1, 0.0), (2, 4, 1.5, 0.0),
+                    (2, 4, 0.3, 2.0)]:
+            with pytest.raises(ConfigError):
+                d.fir_design_rkaiser(*bad)
+            with pytest.raises(ConfigError):
+                d.fir_design_arkaiser(*bad)
+
 
 class TestNyquistShapes:
     @autotest("liquid_firdes_rcos", "firdes_prototype_rcos")
@@ -195,6 +206,64 @@ class TestPm:
         assert h[n // 2] == pytest.approx(0.5, abs=1e-3)
         even_outer = np.concatenate([h[0 : n // 2 : 2], h[n // 2 + 2 :: 2]])
         np.testing.assert_allclose(even_outer, 0.0, atol=1e-12)
+
+    @autotest("firdespm_differentiator")
+    def test_differentiator(self):
+        """Type-IV differentiator: |H(f)| grows linearly with f in-band
+        (liquid firdespm_differentiator)."""
+        # slope des with 1/f weighting (relative error), the classic PM
+        # differentiator formulation
+        pm = d.FirDesignPm(
+            32, [0.05, 0.45], None,
+            btype=d.FirPmBandType.DIFFERENTIATOR,
+            callback=lambda fi: (fi, 1.0 / fi),
+        )
+        h = pm.execute()
+        np.testing.assert_allclose(h, -h[::-1], atol=1e-6)  # antisymmetric
+        H = np.abs(np.fft.fft(h, 8192))
+        f = np.fft.fftfreq(8192)
+        probe = np.array([0.1, 0.2, 0.3, 0.4])
+        mags = np.array([H[np.argmin(np.abs(f - p))] for p in probe])
+        ratios = mags / probe
+        assert ratios.max() / ratios.min() < 1.05  # linear-in-f to 5%
+
+    @autotest("firdespm_hilbert")
+    def test_hilbert(self):
+        """Hilbert transformer: unit magnitude across the design band
+        (liquid firdespm_hilbert)."""
+        h = d.fir_design_pm(
+            57, [0.05, 0.45], [1.0], [1.0], None,
+            btype=d.FirPmBandType.HILBERT,
+        )
+        # antisymmetric taps
+        np.testing.assert_allclose(h, -h[::-1], atol=1e-6)
+        H = np.abs(np.fft.fft(h, 8192))
+        f = np.fft.fftfreq(8192)
+        band = (f >= 0.08) & (f <= 0.42)
+        assert np.abs(H[band] - 1.0).max() < 0.05
+
+    @autotest("firdespm_callback")
+    def test_callback(self):
+        """Grid callback reproduces the direct des/weights design
+        (liquid firdespm_callback)."""
+        n, bands = 41, [0.0, 0.15, 0.25, 0.5]
+        h_direct = d.fir_design_pm(n, bands, [1.0, 0.0], [1.0, 2.0], None)
+
+        def cb(fi):
+            return (1.0, 1.0) if fi <= 0.2 else (0.0, 2.0)
+
+        pm = d.FirDesignPm(n, bands, None, callback=cb)
+        h_cb = pm.execute()
+        np.testing.assert_allclose(h_cb, h_direct, atol=1e-8)
+
+    @autotest("firdespm_copy")
+    def test_copy(self):
+        """Copied designer produces the identical filter
+        (liquid firdespm_copy)."""
+        import copy as _copy
+        pm0 = d.FirDesignPm(35, [0.0, 0.2, 0.3, 0.5], [1.0, 0.0], [1.0, 1.0])
+        pm1 = _copy.deepcopy(pm0)
+        np.testing.assert_array_equal(pm0.execute(), pm1.execute())
 
     @autotest("firdespm_config")
     def test_invalid(self):

@@ -92,6 +92,7 @@ class TestEqlms:
 
 
 class TestEqrls:
+    @autotest("eqrls_rrrf_01")
     def test_supervised_convergence(self):
         """RLS converges faster than LMS on the same channel."""
         rng = np.random.default_rng(2)
@@ -116,6 +117,24 @@ class TestEqrls:
             Eqrls.create(p=0)
         with pytest.raises(ConfigError):
             Eqrls.create(p=4).set_bw(1.5)
+
+    @autotest("eqrls_rrrf_copy")
+    def test_copy(self):
+        """Copied RLS equalizer trains identically from the same state
+        (liquid eqrls_rrrf_copy semantics)."""
+        import jax as _jax
+        rng = np.random.default_rng(9)
+        m = Modem.create("qpsk")
+        syms = rng.integers(0, 4, size=120).astype(np.uint32)
+        d, _ = m.modulate(syms)
+        d = np.asarray(d)
+        x = _channel(d, np.array([1.0, -0.15 + 0.05j], dtype=np.complex64))
+        eq0 = Eqrls.create(p=5)
+        _, eq0 = eq0.train_block(x[:60], d[:60])
+        eq1 = _jax.tree_util.tree_map(lambda v: v, eq0)
+        y0, _ = eq0.train_block(x[60:], d[60:])
+        y1, _ = eq1.train_block(x[60:], d[60:])
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
 class TestEqlmsReferenceScenarios:

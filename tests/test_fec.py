@@ -55,7 +55,16 @@ _BLOCK_CODES = [hamming74, hamming84, hamming128, hamming1511, hamming3126,
 
 class TestBlockCodes:
     @pytest.mark.parametrize("mk", _BLOCK_CODES, ids=lambda f: f.__name__)
-    @autotest(param_map={"[secded7264]": "secded7264_codec_e1", "[hamming74]": "fec_h74"})
+    @autotest(param_map={
+        "[secded7264]": ("secded7264_codec_e0", "secded7264_codec_e1"),
+        "[secded2216]": ("secded2216_codec_e0", "secded2216_codec_e1"),
+        "[secded3932]": ("secded3932_codec_e0", "secded3932_codec_e1"),
+        "[hamming74]": ("fec_h74", "hamming74_codec"),
+        "[hamming84]": "hamming84_codec",
+        "[hamming128]": "hamming128_codec",
+        "[hamming1511]": "hamming1511_codec",
+        "[hamming3126]": "hamming3126_codec",
+    })
     def test_single_error_correction(self, mk):
         c = mk()
         rng = np.random.default_rng(5)
@@ -73,7 +82,9 @@ class TestBlockCodes:
 
     @pytest.mark.parametrize("mk", [secded2216, secded3932, secded7264],
                              ids=lambda f: f.__name__)
-    @autotest(param_map={"[secded7264]": "secded7264_codec_e2"})
+    @autotest(param_map={"[secded7264]": "secded7264_codec_e2",
+                         "[secded2216]": "secded2216_codec_e2",
+                         "[secded3932]": "secded3932_codec_e2"})
     def test_secded_double_error_detection(self, mk):
         c = mk()
         rng = np.random.default_rng(6)
@@ -84,6 +95,7 @@ class TestBlockCodes:
         _, det = c.decode_bits(cw)
         assert det.all()
 
+    @autotest("rep3_codec", "rep5_codec")
     def test_repetition_majority(self):
         for c in (rep3(), rep5()):
             rng = np.random.default_rng(7)
@@ -262,6 +274,38 @@ class TestInterleaver:
         il = Interleaver(16, depth=0)
         assert (il.encode(msg) == msg).all()
 
+    @autotest("interleaver_soft_8", "interleaver_soft_16",
+              "interleaver_soft_64", "interleaver_soft_256")
+    def test_soft_bits_ride_same_permutation(self):
+        """Soft metrics follow the identical bit spread (liquid
+        interleaver_soft_*: soft encode/decode roundtrip at n=8/16/64/256,
+        consistent with the hard-bit permutation)."""
+        rng = np.random.default_rng(23)
+        for n in (8, 16, 64, 256):
+            il = Interleaver(n)
+            soft = rng.integers(0, 256, size=8 * n).astype(np.uint8)
+            enc = il.encode_soft(soft)
+            assert (il.decode_soft(enc) == soft).all()
+            # consistency: hard bits interleaved directly match soft path
+            msg = rng.integers(0, 256, size=n).astype(np.uint8)
+            hard_bits = np.unpackbits(il.encode(msg))
+            soft_bits = il.encode_soft(np.unpackbits(msg) * 255) // 255
+            assert (hard_bits == soft_bits).all()
+
+    @autotest("packetizer_copy")
+    def test_packetizer_copy(self):
+        import copy as _copy
+        rng = np.random.default_rng(24)
+        p0 = Packetizer(48, crc="crc32", fec0="hamming128", fec1="conv27p34")
+        p1 = _copy.deepcopy(p0)
+        msg = rng.integers(0, 256, size=48).astype(np.uint8)
+        e0, e1 = p0.encode(msg), p1.encode(msg)
+        np.testing.assert_array_equal(e0, e1)
+        d0, ok0 = p0.decode(e0)
+        d1, ok1 = p1.decode(e1)
+        assert ok0 and ok1
+        np.testing.assert_array_equal(d0, d1)
+
 
 class TestPacketizer:
     @autotest("packetizer_n16_0_0")
@@ -319,7 +363,11 @@ class TestFecReferenceScenarios:
     LIQUID_COMPAT.md fec/fec_copy/fec_soft): hard roundtrip with correctable
     errors, mid-stream object copy, and soft-input decode."""
 
-    @autotest(param_map={f"[{k}]": f"fec_{v}" for k, v in _FEC_NAME.items()})
+    @autotest(param_map={
+        **{f"[{k}]": f"fec_{v}" for k, v in _FEC_NAME.items()},
+        "[golay2412]": ("fec_g2412", "golay2412_codec"),
+        "[rs8]": ("fec_rs8", "reedsolomon_223_255"),
+    })
     @pytest.mark.parametrize("scheme", sorted(_FEC_NAME))
     def test_hard_roundtrip(self, scheme):
         rng = np.random.default_rng(hash(scheme) % (1 << 31))
@@ -353,8 +401,12 @@ class TestFecReferenceScenarios:
         np.testing.assert_array_equal(e0, e1)
         np.testing.assert_array_equal(f0.decode(e0, 12), f1.decode(e1, 12))
 
-    @autotest(param_map={f"[{k}]": f"fecsoft_{_FEC_NAME[k]}"
-                         for k in _SOFT_SCHEMES})
+    @autotest(param_map={
+        **{f"[{k}]": f"fecsoft_{_FEC_NAME[k]}" for k in _SOFT_SCHEMES},
+        "[hamming74]": ("fecsoft_h74", "hamming74_codec_soft"),
+        "[hamming84]": ("fecsoft_h84", "hamming84_codec_soft"),
+        "[hamming128]": ("fecsoft_h128", "hamming128_codec_soft"),
+    })
     @pytest.mark.parametrize("scheme", sorted(_SOFT_SCHEMES))
     def test_soft_roundtrip(self, scheme):
         """Soft-input decode of clean levels recovers the message

@@ -51,6 +51,7 @@ def test_fft_golden(golden, n):
     assert np.max(np.abs(z - x)) < tol, f"inverse fft n={n}"
 
 
+@autotest("fft_shift_4", "fft_shift_8")
 def test_fft_shift_even():
     x = jnp.arange(4)
     np.testing.assert_array_equal(np.asarray(yfft.fft_shift(x)), [2, 3, 0, 1])

@@ -245,6 +245,35 @@ class TestRresamp:
         y, _ = q.execute_block(x)
         assert y.shape[-1] == 6 * 5
 
+    @autotest(param_map={f"[P{p}-": f"rresamp_crcf_part_P{p}_Q5"
+                         for p in (1, 2, 3, 6, 8, 9)})
+    @pytest.mark.parametrize("P", [1, 2, 3, 6, 8, 9],
+                             ids=lambda p: f"P{p}-Q5")
+    def test_partition(self, P):
+        """Block-partition invariance (liquid rresamp_crcf_part_P*_Q5,
+        rresamp autotest family): resampling a stream in arbitrary
+        block-length chunks with threaded state must produce exactly the
+        one-shot output."""
+        Q = 5
+        rng = np.random.default_rng(40 + P)
+        q = Rresamp.create_kaiser(P, Q, m=8)
+        nblk = 24
+        x = (rng.normal(size=q.q * nblk)
+             + 1j * rng.normal(size=q.q * nblk)).astype(np.complex64)
+        y_full, _ = q.execute_block(x)
+        y_full = np.asarray(y_full)
+        # split into uneven chunks (in units of the reduced input block q.q)
+        parts, chunks, i = [], [1, 3, 2, 5, 1, 4], 0
+        qs = q
+        ci = 0
+        while i < nblk:
+            n = min(chunks[ci % len(chunks)], nblk - i)
+            yb, qs = qs.execute_block(x[i * q.q:(i + n) * q.q])
+            parts.append(np.asarray(yb))
+            i += n
+            ci += 1
+        np.testing.assert_array_equal(np.concatenate(parts), y_full)
+
     def test_tone_psd(self):
         """Resampled tone lands at f·Q/P."""
         P, Q = 3, 2
@@ -330,6 +359,43 @@ class TestHilbert:
         want = np.exp(2j * np.pi * f_tone * (t - (2 * m - 0.5)))
         err = np.abs(z[30:n] - want[30:n]).mean()
         assert err < 0.02
+
+    @autotest("firhilbf_invalid_config", "iirhilbf_invalid_config")
+    def test_hilbert_invalid_config(self):
+        """Constructor validation (liquid firhilbf/iirhilbf_invalid_config)."""
+        with pytest.raises(ConfigError):
+            FirHilbertFilter.create(1)
+        with pytest.raises(ConfigError):
+            IirHilbertFilter.create_default(0)
+        q = FirHilbertFilter.create(4)
+        with pytest.raises(ConfigError):
+            q.decim_execute_block(np.zeros(7, np.float32))  # odd length
+        qi = IirHilbertFilter.create_default(5)
+        with pytest.raises(ConfigError):
+            qi.decim_execute_block(np.zeros(9, np.float32))
+
+    @autotest("firhilbf_copy_interp", "firhilbf_copy_decim",
+              "iirhilbf_copy_interp", "iirhilbf_copy_decim")
+    def test_hilbert_copy_midstream(self):
+        """Copied transformer continues identically in both directions
+        (liquid firhilbf/iirhilbf copy_interp/copy_decim)."""
+        rng = np.random.default_rng(31)
+        xr = rng.normal(size=64).astype(np.float32)
+        xc = (rng.normal(size=32) + 1j * rng.normal(size=32)).astype(np.complex64)
+        for mk in (lambda: FirHilbertFilter.create(5),
+                   lambda: IirHilbertFilter.create_default(5)):
+            q0 = mk()
+            _, q0 = q0.decim_execute_block(xr[:32])
+            q1 = jax.tree_util.tree_map(lambda v: v, q0)
+            y0, _ = q0.decim_execute_block(xr[32:])
+            y1, _ = q1.decim_execute_block(xr[32:])
+            np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+            u0 = mk()
+            _, u0 = u0.interp_execute_block(xc[:16])
+            u1 = jax.tree_util.tree_map(lambda v: v, u0)
+            z0, _ = u0.interp_execute_block(xc[16:])
+            z1, _ = u1.interp_execute_block(xc[16:])
+            np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
 
     @autotest("iirhilbf_filter")
     def test_iir_hilbert_decim_tone(self):

@@ -128,13 +128,68 @@ class TestFirFiltApi:
         with pytest.raises(ConfigError):
             FirFilter.create_rect(2000)
 
-    @autotest("firfilt_crcf_notch", "firfilt_cccf_notch")
+    @autotest("firfilt_crcf_notch", "firfilt_cccf_notch",
+              "firfilt_cccf_notch_0", "firfilt_cccf_notch_1",
+              "firfilt_cccf_notch_2", "firfilt_cccf_notch_3",
+              "firfilt_cccf_notch_4", "firfilt_cccf_notch_5",
+              "liquid_freqrespcf")
     def test_notch_complex(self):
-        f0 = 0.1
-        f = FirFilter.create_notch(10, 60.0, f0, dtype=jnp.complex64)
-        # response at the notch frequency must be deeply suppressed
-        assert abs(f.freqresponse(f0)) < 1e-3
-        assert abs(abs(f.freqresponse(0.4)) - 1.0) < 0.1
+        """Notch suppression across the reference's numbered parameter
+        sweep (liquid firfilt_cccf_notch_0..5: m/As/f0 combinations,
+        including negative f0), evaluated via complex freqresponse."""
+        cases = [(10, 60.0, 0.1), (10, 60.0, -0.1), (8, 40.0, 0.2),
+                 (12, 80.0, 0.3), (10, 60.0, 0.0), (15, 70.0, -0.35)]
+        for m, as_, f0 in cases:
+            f = FirFilter.create_notch(m, as_, f0, dtype=jnp.complex64)
+            # response at the notch frequency must be deeply suppressed
+            assert abs(f.freqresponse(f0)) < 1e-3, (m, as_, f0)
+            fprobe = 0.4 if abs(f0) < 0.3 else 0.05
+            assert abs(abs(f.freqresponse(fprobe)) - 1.0) < 0.1, (m, as_, f0)
+
+    @autotest("firfilt_crcf_rect")
+    def test_rect(self):
+        """Rectangular filter = moving sum (liquid firfilt_crcf_rect)."""
+        f = FirFilter.create_rect(4, dtype=jnp.complex64)
+        x = (np.arange(12) + 1j * np.arange(12)[::-1]).astype(np.complex64)
+        y, _ = f.execute_block(jnp.asarray(x))
+        y_ref = np.convolve(x, np.ones(4))[:12]
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-6, atol=1e-6)
+
+    @autotest("firfilt_crcf_firdespm")
+    def test_firdespm_ctor(self):
+        """PM-designed filter meets its stopband from the streaming object
+        (liquid firfilt_crcf_firdespm)."""
+        fc = 0.2
+        f = FirFilter.create_firdespm(51, fc, 60.0)
+        # taps scaled by 0.5/fc (firfilt.rs:129-134): passband gain 0.5/fc
+        gain = 0.5 / fc
+        assert abs(abs(f.freqresponse(0.05)) - gain) < 0.05 * gain
+        assert abs(f.freqresponse(0.35)) < gain * 10 ** (-50 / 20)
+
+    @autotest("firfilt_cccf_coefficients_test")
+    def test_coefficients_roundtrip(self):
+        """Stored coefficients drive the streaming output exactly
+        (liquid firfilt_cccf_coefficients_test)."""
+        rng = np.random.default_rng(11)
+        h = (rng.normal(size=7) + 1j * rng.normal(size=7)).astype(np.complex64)
+        f = FirFilter.create(h)
+        np.testing.assert_array_equal(np.asarray(f.h), h)
+        x = (rng.normal(size=20) + 1j * rng.normal(size=20)).astype(np.complex64)
+        y, _ = f.execute_block(jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(y), np.convolve(x, h)[:20], rtol=1e-5, atol=1e-5)
+
+    @autotest("firfilt_crcf_copy")
+    def test_copy_midstream(self):
+        """Copied filter continues bit-identically (liquid firfilt_crcf_copy)."""
+        rng = np.random.default_rng(12)
+        f0 = FirFilter.create_kaiser(21, 0.2, 60.0, 0.0, dtype=jnp.complex64)
+        x = (rng.normal(size=(2, 30)) + 1j * rng.normal(size=(2, 30))).astype(np.complex64)
+        _, f0 = f0.execute_block(jnp.asarray(x[:, :15][0]))
+        f1 = jax.tree_util.tree_map(lambda v: v, f0)
+        y0, _ = f0.execute_block(jnp.asarray(x[0, 15:]))
+        y1, _ = f1.execute_block(jnp.asarray(x[0, 15:]))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
     def test_groupdelay(self):
         f = FirFilter.create_kaiser(21, 0.2, 60.0, 0.0)
@@ -231,6 +286,29 @@ class TestFirInterp:
                 y_ref.append(complex(pfb.execute(i)))
         np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-5)
 
+    @autotest(param_map={"[M2]": "firinterp_crcf_rnyquist_2",
+                         "[M3]": "firinterp_crcf_rnyquist_3"})
+    @pytest.mark.parametrize("M", [2, 3], ids=lambda m: f"M{m}")
+    def test_rnyquist_prototype_zero_isi(self, M):
+        """Root-Nyquist interp + matched decimating filter recovers symbols
+        with no ISI (liquid firinterp_crcf_rnyquist_*)."""
+        m_sym, beta = 7, 0.3
+        rng = np.random.default_rng(50 + M)
+        syms = (rng.choice([-1.0, 1.0], size=64)
+                + 1j * rng.choice([-1.0, 1.0], size=64)).astype(np.complex64)
+        q = FirInterpolationFilter.create_prototype(
+            FirFilterShape.RRCOS, M, m_sym, beta, dtype=jnp.complex64)
+        y, q = q.execute_block(jnp.asarray(syms))
+        y2, _ = q.execute_block(jnp.zeros(2 * m_sym, jnp.complex64))
+        y = np.concatenate([np.asarray(y), np.asarray(y2)])
+        # matched filter: same rrcos prototype
+        from yagi_tpu import design as _d
+        h = _d.fir_design_prototype(FirFilterShape.RRCOS, M, m_sym, beta, 0.0)
+        z = np.convolve(y, h) / M
+        # symbol instants after the composite 2*m_sym-symbol delay
+        got = z[2 * m_sym * M::M][:64]
+        np.testing.assert_allclose(got, syms, atol=0.02)
+
     @autotest("firinterp_copy", "firinterp_flush")
     def test_copy_flush(self):
         """Copied interpolator continues identically; zero-flush drains the
@@ -278,7 +356,7 @@ class TestFirDecimGolden:
         y, _ = d.execute_block(x)
         np.testing.assert_allclose(np.asarray(y), y_want, atol=TOL)
 
-    @autotest("firdecim_block")
+    @autotest("firdecim_block", "firdecim_rrrf_common", "firdecim_crcf_common")
     def test_split_invariance(self):
         g = load("firdecim")
         h = g["FIRDECIM_CCCF_DATA_M4H13X40_H"]

@@ -9,6 +9,7 @@ import numpy as np
 from tests.autotest import autotest
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from yagi_tpu.design import iir as iirdes
@@ -68,6 +69,14 @@ class TestSos:
         y_tf, _ = tf.execute_block(x)
         np.testing.assert_allclose(np.asarray(y_sos), np.asarray(y_tf), rtol=1e-5, atol=1e-6)
 
+    @autotest("iirfiltsos_config")
+    def test_sos_invalid(self):
+        """Biquad coefficient validation (liquid iirfiltsos_config)."""
+        with pytest.raises(ConfigError):
+            IirFilterSos.create([0.2, 0.3], [1.0, -0.5, 0.25])  # b not len 3
+        with pytest.raises(ConfigError):
+            IirFilterSos.create([0.2, 0.3, 0.1], [1.0, -0.5])  # a not len 3
+
     @autotest("iirdes_dzpk2sosf")
     def test_sos_cascade_matches_tf(self):
         """SOS realization of a designed filter matches TF realization."""
@@ -116,7 +125,8 @@ class TestIirDesign:
         "[8-IirFilterShape.CHEBY2]": "iirdes_cheby2_lowpass_2",
         "[3-IirFilterShape.ELLIP]": "iirdes_ellip_lowpass_0",
         "[5-IirFilterShape.ELLIP]": "iirdes_ellip_lowpass_1",
-        "[8-IirFilterShape.ELLIP]": "iirdes_ellip_lowpass_2"})
+        "[8-IirFilterShape.ELLIP]": "iirdes_ellip_lowpass_2",
+        "[5-IirFilterShape.BESSEL]": "iirdes_bessel"})
     @pytest.mark.parametrize("order", [2, 3, 5, 8])
     def test_lowpass_psd(self, shape, order):
         """Designed lowpass is stable, unity passband, attenuating stopband."""
@@ -184,26 +194,31 @@ class TestIirDesign:
         assert abs(f.freqresponse(0.0)) < 1e-3
         assert abs(f.freqresponse(0.45)) == pytest.approx(1.0, abs=0.1)
 
+    @autotest("iirdes_ellip_bandpass")
     def test_bandpass(self):
-        f = IirFilter.create_prototype(
-            iirdes.IirFilterShape.BUTTER,
-            iirdes.IirBandType.BANDPASS,
-            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
-            4, 0.1, 0.25, 1.0, 60.0,
-        )
-        assert abs(f.freqresponse(0.25)) == pytest.approx(1.0, abs=0.1)
-        assert abs(f.freqresponse(0.02)) < 0.05
-        assert abs(f.freqresponse(0.48)) < 0.05
+        for shape in (iirdes.IirFilterShape.BUTTER, iirdes.IirFilterShape.ELLIP):
+            f = IirFilter.create_prototype(
+                shape,
+                iirdes.IirBandType.BANDPASS,
+                iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+                4, 0.1, 0.25, 1.0, 60.0,
+            )
+            # ellip Ap=1dB ripple: passband floor 10^(-1/20) = 0.891
+            assert 0.85 <= abs(f.freqresponse(0.25)) <= 1.05
+            assert abs(f.freqresponse(0.02)) < 0.05
+            assert abs(f.freqresponse(0.48)) < 0.05
 
+    @autotest("iirdes_ellip_bandstop")
     def test_bandstop(self):
-        f = IirFilter.create_prototype(
-            iirdes.IirFilterShape.BUTTER,
-            iirdes.IirBandType.BANDSTOP,
-            iirdes.IirFormat.SECOND_ORDER_SECTIONS,
-            4, 0.1, 0.25, 1.0, 60.0,
-        )
-        assert abs(f.freqresponse(0.25)) < 0.05
-        assert abs(f.freqresponse(0.0)) == pytest.approx(1.0, abs=0.15)
+        for shape in (iirdes.IirFilterShape.BUTTER, iirdes.IirFilterShape.ELLIP):
+            f = IirFilter.create_prototype(
+                shape,
+                iirdes.IirBandType.BANDSTOP,
+                iirdes.IirFormat.SECOND_ORDER_SECTIONS,
+                4, 0.1, 0.25, 1.0, 60.0,
+            )
+            assert abs(f.freqresponse(0.25)) < 0.05
+            assert abs(f.freqresponse(0.0)) == pytest.approx(1.0, abs=0.15)
 
     @autotest("iirdes_isstable_n2_yes", "iirdes_isstable_n2_no")
     def test_is_stable(self):
@@ -252,11 +267,82 @@ class TestIirDesign:
         y, _ = f.execute_block(np.ones(10, dtype=np.float32))
         assert np.all(np.isfinite(np.asarray(y)))
 
-    @autotest("iir_groupdelay_n3", "iir_groupdelay_n8")
+    @autotest("iir_groupdelay_n3", "iir_groupdelay_n8", "iir_groupdelay_sos_n8")
     def test_groupdelay(self):
         f = IirFilter.create_lowpass(4, 0.1)
         gd = f.groupdelay(0.0)
         assert 0.0 < gd < 20.0
+        # SOS-form filter reports the same group delay as its TF equivalent
+        fsos = IirFilter.create_prototype(
+            iirdes.IirFilterShape.BUTTER, iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.SECOND_ORDER_SECTIONS, 8, 0.1, 0.0, 1.0, 60.0)
+        ftf = IirFilter.create_prototype(
+            iirdes.IirFilterShape.BUTTER, iirdes.IirBandType.LOWPASS,
+            iirdes.IirFormat.TRANSFER_FUNCTION, 8, 0.1, 0.0, 1.0, 60.0)
+        assert fsos.groupdelay(0.02) == pytest.approx(ftf.groupdelay(0.02),
+                                                      rel=1e-2)
+
+    @autotest("iirfilt_copy_tf", "iirfilt_copy_sos", "iirfiltsos_copy")
+    def test_copy_midstream(self):
+        """Copied IIR filter continues identically from carried state
+        (liquid iirfilt_copy_tf / iirfilt_copy_sos / iirfiltsos_copy)."""
+        rng = np.random.default_rng(60)
+        x = rng.normal(size=64).astype(np.float32)
+        for fmt in (iirdes.IirFormat.TRANSFER_FUNCTION,
+                    iirdes.IirFormat.SECOND_ORDER_SECTIONS):
+            f0 = IirFilter.create_prototype(
+                iirdes.IirFilterShape.BUTTER, iirdes.IirBandType.LOWPASS,
+                fmt, 5, 0.15, 0.0, 1.0, 60.0)
+            _, f0 = f0.execute_block(x[:32])
+            f1 = jax.tree_util.tree_map(lambda v: v, f0)
+            y0, _ = f0.execute_block(x[32:])
+            y1, _ = f1.execute_block(x[32:])
+            np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    @autotest(param_map={"[M2]": "iirinterp_crcf_M2_O9",
+                         "[M3]": "iirinterp_crcf_M3_O9",
+                         "[M4]": "iirinterp_crcf_M4_O9"})
+    @pytest.mark.parametrize("M", [2, 3, 4], ids=lambda m: f"M{m}")
+    def test_iirinterp_tone(self, M):
+        """IIR interpolator: tone lands at f/M with image suppressed
+        (liquid iirinterp_crcf_M*_O9, order-9 butterworth)."""
+        from yagi_tpu.filter import IirInterpolationFilter
+        n = 500
+        f_in = 0.07
+        t = np.arange(n)
+        x = np.exp(2j * np.pi * f_in * t).astype(np.complex64)
+        q = IirInterpolationFilter.create_default(M, 9, dtype=jnp.complex64)
+        y, _ = q.execute_block(jnp.asarray(x))
+        y = np.asarray(y)[40 * M:]
+        spec = np.abs(np.fft.fftshift(np.fft.fft(y * np.hanning(len(y)))))
+        fg = np.arange(len(spec)) / len(spec) - 0.5
+        assert abs(fg[spec.argmax()] - f_in / M) < 0.005
+        # images at (f_in + k)/M suppressed
+        for k in range(1, M):
+            img = (f_in + k) / M
+            img = img - 1.0 if img > 0.5 else img
+            band = np.abs(fg - img) < 0.01
+            assert spec[band].max() < 0.05 * spec.max()
+
+    @autotest("iirinterp_copy", "iirdecim_copy")
+    def test_iirinterp_decim_copy(self):
+        """Copied IIR interp/decim continue identically
+        (liquid iirinterp_copy / iirdecim_copy)."""
+        from yagi_tpu.filter import IirDecimationFilter, IirInterpolationFilter
+        rng = np.random.default_rng(61)
+        x = rng.normal(size=80).astype(np.float32)
+        u0 = IirInterpolationFilter.create_default(3, 5, dtype=jnp.float32)
+        _, u0 = u0.execute_block(x[:40])
+        u1 = jax.tree_util.tree_map(lambda v: v, u0)
+        a0, _ = u0.execute_block(x[40:])
+        a1, _ = u1.execute_block(x[40:])
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        d0 = IirDecimationFilter.create_default(4, 5, dtype=jnp.float32)
+        _, d0 = d0.execute_block(x[:40])
+        d1 = jax.tree_util.tree_map(lambda v: v, d0)
+        b0, _ = d0.execute_block(x[40:])
+        b1, _ = d1.execute_block(x[40:])
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
 
     @autotest("iirfilt_config")
     def test_invalid(self):

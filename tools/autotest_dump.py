@@ -21,9 +21,11 @@ def pytest_collection_finish(session):
                 # match keys against the bracketed param id ("[dpsk2]") so a
                 # key "[psk2]" cannot alias into "[dpsk2]"
                 probe = f"[{callspec.id}]" if callspec is not None else ""
-                for key, name in param_map.items():
+                for key, val in param_map.items():
                     if key in probe:
-                        print(f"!! autotest: {name} -> {item.nodeid} !!")
+                        names_v = val if isinstance(val, (tuple, list)) else (val,)
+                        for name in names_v:
+                            print(f"!! autotest: {name} -> {item.nodeid} !!")
                         emitted = True
             if names:
                 for name in names:

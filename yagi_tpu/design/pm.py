@@ -248,19 +248,35 @@ class FirDesignPm:
         cf = _barycentric_eval(self.x, self.c, self.alpha, xf)
         if self.btype == FirPmBandType.BANDPASS and self.s == 0:
             g = cf * np.cos(np.pi * i / self.h_len)
+        elif self.btype != FirPmBandType.BANDPASS:
+            # re-apply the antisymmetric amplitude factor divided out of the
+            # grid (type IV: sin(pi f); type III: sin(2 pi f))
+            g = cf * (np.sin(np.pi * f) if self.s == 0 else np.sin(2.0 * np.pi * f))
         else:
             g = cf
 
+        n = np.arange(self.h_len)
+        fr = (n - (p - 1) + 0.5 * (1.0 - self.s)) / self.h_len
+        j = np.arange(1, self.r)
         if self.btype == FirPmBandType.BANDPASS:
-            n = np.arange(self.h_len)
-            fr = (n - (p - 1) + 0.5 * (1.0 - self.s)) / self.h_len
-            j = np.arange(1, self.r)
             v = g[0] + 2.0 * np.sum(
                 g[None, 1 : self.r] * np.cos(2.0 * np.pi * fr[:, None] * j[None, :]),
                 axis=1,
             )
             return (v / self.h_len).astype(np.float32)
-        raise InternalError("filter configuration not yet supported")
+
+        # antisymmetric (differentiator / Hilbert) inverse transform: with
+        # H(f) = j G(f) e^{-j2pi f alpha}, alpha=(N-1)/2, pairing k and N-k
+        # DFT bins gives h[n] = -(2/N) sum_k G_k sin(2pi k (n-alpha)/N)
+        # (type III, N odd) plus the k=N/2 boundary term
+        # -(1/N) G_{N/2} (-1)^{n+N/2} (type IV, N even); G_0 = 0 in both.
+        v = -2.0 * np.sum(
+            g[None, 1 : self.r] * np.sin(2.0 * np.pi * fr[:, None] * j[None, :]),
+            axis=1,
+        )
+        if self.s == 0:
+            v = v - g[self.r] * ((-1.0) ** (n + self.h_len // 2))
+        return (v / self.h_len).astype(np.float32)
 
     def execute(self) -> np.ndarray:
         """Run the Remez exchange (pm.rs:155-181)."""

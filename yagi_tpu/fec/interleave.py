@@ -68,3 +68,25 @@ class Interleaver:
             raise ConfigError(f"message length {data.shape[-1]} != n ({self.n})")
         bits = unpack_bits(data)
         return pack_bits(bits[..., self._iperm])
+
+    def encode_soft(self, soft) -> np.ndarray:
+        """Interleave soft bits [..., 8n] (one value per bit).
+
+        Same permutation applied to per-bit soft metrics, the reference's
+        ``interleaver_encode_soft`` (liquid interleaver_soft_* autotests):
+        soft channel values must ride the identical spread so the FEC's
+        soft decoder sees them in de-interleaved order.
+        """
+        soft = np.asarray(soft)
+        if soft.shape[-1] != 8 * self.n:
+            raise ConfigError(
+                f"soft length {soft.shape[-1]} != 8n ({8 * self.n})")
+        return soft[..., self._perm]
+
+    def decode_soft(self, soft) -> np.ndarray:
+        """Inverse soft-bit permutation [..., 8n]."""
+        soft = np.asarray(soft)
+        if soft.shape[-1] != 8 * self.n:
+            raise ConfigError(
+                f"soft length {soft.shape[-1]} != 8n ({8 * self.n})")
+        return soft[..., self._iperm]

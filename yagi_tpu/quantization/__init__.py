@@ -22,10 +22,17 @@ __all__ = [
 
 
 def compress_mulaw(x, mu: float = 255.0):
-    """μ-law compression: sign(x)·ln(1+μ|x|)/ln(1+μ) (liquid compand)."""
+    """μ-law compression: sign(x)·ln(1+μ|x|)/ln(1+μ) (liquid compand).
+
+    Complex inputs compand I and Q independently (liquid
+    ``compress_cf_mulaw``, compand_cfloat autotest semantics).
+    """
     if mu <= 0:
         raise ConfigError("mu must be greater than zero")
     x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        return (compress_mulaw(jnp.real(x), mu)
+                + 1j * compress_mulaw(jnp.imag(x), mu)).astype(x.dtype)
     return jnp.sign(x) * jnp.log1p(mu * jnp.abs(x)) / np.log1p(mu)
 
 
@@ -34,6 +41,9 @@ def expand_mulaw(y, mu: float = 255.0):
     if mu <= 0:
         raise ConfigError("mu must be greater than zero")
     y = jnp.asarray(y)
+    if jnp.iscomplexobj(y):
+        return (expand_mulaw(jnp.real(y), mu)
+                + 1j * expand_mulaw(jnp.imag(y), mu)).astype(y.dtype)
     return jnp.sign(y) * (jnp.exp(jnp.abs(y) * np.log1p(mu)) - 1.0) / mu
 
 def quantize_adc(x, num_bits: int):

@@ -74,7 +74,7 @@ class TestDistributions:
         ],
         ids=["uniform", "normal", "exp", "gamma", "nakagami", "rice", "weibull"],
     )
-    @autotest(param_map={"[uniform]": "randf", "[normal]": "randnf",
+    @autotest(param_map={"[uniform]": "randf", "[normal]": ("randnf", "distribution_randnf"),
                          "[exp]": "randexpf", "[rice]": "randricekf",
                          "[weibull]": "randweibf"})
     def test_empirical_cdf(self, sampler, cdf):
@@ -136,11 +136,13 @@ class TestBits:
         assert bits.count_bit_errors(0b1010, 0b0110) == 2
         assert bits.count_bit_errors_array([0xFF, 0x00], [0x00, 0x00]) == 8
 
-    @autotest("reverse_byte", "reverse_uint32")
+    @autotest("reverse_byte", "reverse_uint16", "reverse_uint32")
     def test_reverse(self):
         assert bits.byte_reverse(0b10000000) == 1
         assert bits.byte_reverse(0b11001010) == 0b01010011
         assert bits.word_reverse(1) == 0x80000000
+        assert bits.halfword_reverse(1) == 0x8000
+        assert bits.halfword_reverse(0b1100101011110000) == 0b0000111101010011
 
     @autotest("msb_index", "count_leading_zeros")
     def test_msb(self):

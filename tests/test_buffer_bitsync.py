@@ -55,6 +55,21 @@ class TestWindow:
         with pytest.raises(ConfigError):
             Window(0)
 
+    @autotest("window_copy")
+    def test_copy(self):
+        """Copied window carries the same history (liquid window_copy)."""
+        import copy as _copy
+        w0 = Window(6)
+        w0.write([1.0, 2.0, 3.0])
+        w1 = _copy.deepcopy(w0)
+        assert np.allclose(w0.read(), w1.read())
+        w0.push(4.0)
+        w1.push(4.0)
+        assert np.allclose(w0.read(), w1.read())
+        # independence after the copy
+        w1.push(9.0)
+        assert not np.allclose(w0.read(), w1.read())
+
 
 class TestWDelay:
     @autotest("wdelayf")
@@ -108,6 +123,19 @@ class TestCBuffer:
     def test_errors(self):
         with pytest.raises(ConfigError):
             CBuffer(0)
+
+    @autotest("cbuffer_copy")
+    def test_copy(self):
+        """Copied circular buffer reads identically (liquid cbuffer_copy)."""
+        import copy as _copy
+        cb0 = CBuffer(8)
+        cb0.write([1, 2, 3, 4, 5])
+        cb0.release(2)
+        cb1 = _copy.deepcopy(cb0)
+        assert cb0.size() == cb1.size()
+        assert np.allclose(cb0.read(3), cb1.read(3))
+        cb1.push(9)
+        assert cb1.size() == cb0.size() + 1
         cb = CBuffer(4)
         with pytest.raises(ValueRangeError):
             cb.release(1)

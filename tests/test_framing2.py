@@ -90,6 +90,23 @@ class TestQDetector:
         with pytest.raises(ConfigError):
             QDetector(np.ones(64, np.complex64), n_dphi=4)
 
+    @autotest("qdetector_cccf_copy")
+    def test_copy(self):
+        """Copied detector produces identical detections
+        (liquid qdetector_cccf_copy)."""
+        import copy as _copy
+        rng = np.random.default_rng(17)
+        s = (rng.normal(size=96) + 1j * rng.normal(size=96)
+             ).astype(np.complex64)
+        d0 = QDetector(s, threshold=0.5)
+        d1 = _copy.deepcopy(d0)
+        x = 0.05 * (rng.normal(size=500)
+                    + 1j * rng.normal(size=500)).astype(np.complex64)
+        x[140:236] += s
+        r0, r1 = d0.detect(x), d1.detect(x)
+        assert r0 is not None and r1 is not None
+        assert r0["tau"] == r1["tau"] and r0["rxy"] == r1["rxy"]
+
 
 class TestFrame64:
     def _run_channel(self, seed, snr_db, dphi, tau_frac, gain):
@@ -151,6 +168,27 @@ class TestFrame64:
                  ).astype(np.complex64)
         assert sync.execute(noise) is None
 
+    @autotest("framegen64_copy", "framesync64_copy")
+    def test_gen_sync_copy(self):
+        """Copied generator/synchronizer behave identically
+        (liquid framegen64_copy / framesync64_copy)."""
+        import copy as _copy
+        rng = np.random.default_rng(21)
+        hdr = rng.integers(0, 256, 8).astype(np.uint8)
+        pld = rng.integers(0, 256, 64).astype(np.uint8)
+        g0 = FrameGen64()
+        g1 = _copy.deepcopy(g0)
+        f0, f1 = g0.execute(hdr, pld), g1.execute(hdr, pld)
+        np.testing.assert_array_equal(f0, f1)
+        buf = np.zeros(FRAME64_LEN + 100, np.complex64)
+        buf[50: 50 + FRAME64_LEN] = f0
+        s0 = FrameSync64()
+        s1 = _copy.deepcopy(s0)
+        r0, r1 = s0.execute(buf), s1.execute(buf)
+        assert r0 is not None and r1 is not None
+        assert (r0["payload"] == r1["payload"]).all()
+        assert r0["stats"]["evm_db"] == r1["stats"]["evm_db"]
+
     @autotest("framesync64_config")
     def test_bad_lengths(self):
         gen = FrameGen64()
@@ -190,7 +228,34 @@ class TestMSource:
         outband = psd[np.abs(f + 0.2) < 0.04].mean()
         assert 10 * np.log10(inband / (outband + 1e-20)) > 40
 
-    @autotest("msourcecf_accessor", "msourcecf_config")
+    @autotest("msourcecf_chirp")
+    def test_chirp_sweeps_band(self):
+        """Chirp source spreads energy across its band and stays confined
+        (liquid msourcecf_chirp)."""
+        src = MSource(seed=9)
+        src.add_chirp(fc=0.1, bw=0.2, duration=2000.0)
+        x = src.write_samples(16384)
+        f = np.fft.fftshift(np.fft.fftfreq(x.size))
+        psd = np.fft.fftshift(np.abs(np.fft.fft(x)) ** 2)
+        in_band = psd[(f > -0.005) & (f < 0.205)].sum()
+        assert in_band / psd.sum() > 0.95
+        # energy spread: no single bin dominates (unlike a tone)
+        assert psd.max() / in_band < 0.05
+
+    @autotest("msourcecf_copy")
+    def test_copy_midstream(self):
+        """Copied msource continues identically (liquid msourcecf_copy)."""
+        import copy as _copy
+        s0 = MSource(seed=5)
+        s0.add_tone(fc=0.2)
+        s0.add_chirp(fc=-0.1, bw=0.1, duration=500.0)
+        _ = s0.write_samples(700)
+        s1 = _copy.deepcopy(s0)
+        a = s0.write_samples(300)
+        b = s1.write_samples(300)
+        np.testing.assert_array_equal(a, b)
+
+    @autotest("msourcecf_accessor", "msourcecf_config", "qsourcecf_config")
     def test_modem_source_and_management(self):
         src = MSource(seed=4)
         sid = src.add_modem("qpsk", fc=-0.2, bw=0.1, gain_db=-3.0)

@@ -212,7 +212,7 @@ class TestPoly:
         # (1+x)^2 (1-x)^1 = 1 + x - x^2 - x^3
         np.testing.assert_allclose(ym.poly_expandbinomial_pm(2, 1), [1, 1, -1, -1])
 
-    @autotest("polyf_expandroots_4", "polyf_expandroots_11")
+    @autotest("polyf_expandroots_4", "polyf_expandroots_11", "polycf_expandroots_4")
     def test_poly_expandroots(self):
         # (x-1)(x-2) = 2 - 3x + x^2
         np.testing.assert_allclose(ym.poly_expandroots([1.0, 2.0]), [2, -3, 1])
@@ -338,8 +338,13 @@ class TestWindows:
         with pytest.raises(ConfigError):
             ym.get_window_type("invalid window")
 
-    @autotest("window_config")
+    @autotest("window_config", "math_config")
     def test_invalid_params(self):
+        # liquid math_config: invalid math-utility arguments raise typed errors
+        with pytest.raises(ConfigError):
+            ym.gcd(0, 0)
+        with pytest.raises(ConfigError):
+            ym.poly_fit([1.0, 2.0], [1.0], 1)
         with pytest.raises(ValueRangeError):
             ym.kaiser(10, -1.0)
         with pytest.raises(ValueRangeError):

@@ -105,6 +105,20 @@ class TestModemRoundtrip:
             outs.append(np.asarray(o))
         np.testing.assert_array_equal(np.concatenate(outs), syms)
 
+    @autotest("modemcf_str2mod", "modemcf_print_schemes", "modem_config")
+    def test_scheme_taxonomy(self):
+        """String→scheme resolution over the full taxonomy and invalid-name
+        rejection (liquid modemcf_str2mod / print_schemes / modem_config)."""
+        from yagi_tpu.modem.modem import ModulationScheme
+        schemes = list(ModulationScheme)
+        assert len(schemes) >= 52
+        for s in schemes:
+            assert ModulationScheme.from_str(s.value) is s
+        with pytest.raises(ConfigError):
+            ModulationScheme.from_str("not_a_scheme")
+        with pytest.raises(ConfigError):
+            Modem.create("not_a_scheme")
+
     @autotest("modemcf_types")
     def test_from_table(self):
         table = np.exp(2j * np.pi * np.arange(4) / 4).astype(np.complex64)
@@ -348,6 +362,21 @@ class TestAgc:
         assert float(agc.get_rssi()) == pytest.approx(
             20.0 * np.log10(gamma), abs=tol
         )
+
+    @autotest("agc_crcf_invalid_config")
+    def test_invalid_config(self):
+        """Constructor/setter validation (liquid agc_crcf_invalid_config)."""
+        with pytest.raises(ConfigError):
+            Agc.create(bandwidth=-0.1)
+        agc = Agc.create(bandwidth=0.1)
+        with pytest.raises(ConfigError):
+            agc.set_bandwidth(2.0)
+        with pytest.raises(ConfigError):
+            agc.set_signal_level(0.0)
+        with pytest.raises(ConfigError):
+            agc.set_gain(0.0)
+        with pytest.raises(ConfigError):
+            agc.set_scale(0.0)
 
     @autotest("agc_crcf_squelch")
     def test_squelch_scenario(self):

@@ -147,6 +147,53 @@ class TestQDSync:
                         + 1j * rng.standard_normal(2048))
         assert sync.execute(noise.astype(np.complex64)) is None
 
+    @autotest("qdsync_set_buf_len")
+    def test_set_buf_len(self):
+        """Output cap bounds extracted symbols without losing the preamble
+        (liquid qdsync_set_buf_len)."""
+        rng = np.random.default_rng(12)
+        pre = (1.0 - 2.0 * rng.integers(0, 2, 64)).astype(np.complex64)
+        payload, _ = _qpsk_payload(120, seed=13)
+        allsyms = np.concatenate([pre, payload, np.zeros(16, np.complex64)])
+        sync = QDSync(pre, k=2, m=7, beta=0.3)
+        with pytest.raises(ConfigError):
+            sync.set_buf_len(8)  # shorter than the preamble
+        sync.set_buf_len(100)
+        assert sync.get_buf_len() == 100
+        up = np.zeros(allsyms.size * 2, dtype=np.complex64)
+        up[::2] = allsyms
+        tx = np.convolve(up, sync._h)
+        buf = np.concatenate([np.zeros(37, np.complex64), tx,
+                              np.zeros(40, np.complex64)])
+        res = sync.execute(buf.astype(np.complex64))
+        assert res is not None
+        out, _ = res
+        assert out.size == 100  # capped, includes the 64-symbol preamble
+        # explicit n_symbols still overrides the default cap
+        out2, _ = sync.execute(buf.astype(np.complex64), n_symbols=80)
+        assert out2.size == 80
+        np.testing.assert_array_equal(out[:80], out2)
+
+    @autotest("qdsync_cccf_copy")
+    def test_copy(self):
+        """Copied synchronizer detects identically (liquid qdsync_cccf_copy)."""
+        import copy as _copy
+        rng = np.random.default_rng(14)
+        pre = (1.0 - 2.0 * rng.integers(0, 2, 64)).astype(np.complex64)
+        payload, _ = _qpsk_payload(80, seed=15)
+        allsyms = np.concatenate([pre, payload, np.zeros(16, np.complex64)])
+        s0 = QDSync(pre, k=2, m=7, beta=0.3)
+        s1 = _copy.deepcopy(s0)
+        up = np.zeros(allsyms.size * 2, dtype=np.complex64)
+        up[::2] = allsyms
+        tx = np.convolve(up, s0._h)
+        buf = np.concatenate([np.zeros(21, np.complex64), tx,
+                              np.zeros(30, np.complex64)]).astype(np.complex64)
+        r0, r1 = s0.execute(buf), s1.execute(buf)
+        assert r0 is not None and r1 is not None
+        np.testing.assert_array_equal(r0[0], r1[0])
+        assert r0[1]["tau"] == r1[1]["tau"]
+
     @autotest("qdsync_cccf_config")
     def test_config_errors(self):
         pre = np.ones(64, np.complex64)

@@ -240,6 +240,33 @@ class TestOsc:
         z, _ = o_dn.mix_block_down(np.asarray(y))
         np.testing.assert_allclose(np.asarray(z), x, rtol=1e-4, atol=1e-5)
 
+    @autotest("nco_crcf_frequency")
+    def test_frequency_accessors(self):
+        """set/adjust/get frequency roundtrip (liquid nco_crcf_frequency)."""
+        o = Osc.create("exact").set_frequency(0.2)
+        assert float(o.get_frequency()) == pytest.approx(0.2, abs=1e-6)
+        o = o.adjust_frequency(0.05)
+        assert float(o.get_frequency()) == pytest.approx(0.25, abs=1e-6)
+        o = o.adjust_frequency(-0.25)
+        assert abs(float(o.get_frequency())) < 1e-6
+        # mixing at the set frequency produces the expected tone
+        o = Osc.create("exact").set_frequency(2 * np.pi * 0.05)
+        y, _ = o.mix_block_up(np.ones(64, np.complex64))
+        ph = np.angle(np.asarray(y))
+        d = np.diff(np.unwrap(ph))
+        np.testing.assert_allclose(d, 2 * np.pi * 0.05, atol=1e-4)
+
+    @autotest("nco_crcf_copy")
+    def test_copy_midstream(self):
+        """Copied oscillator continues bit-identically (nco_crcf_copy)."""
+        o0 = Osc.create("exact").set_frequency(0.31).set_phase(0.7)
+        _, o0 = o0.mix_block_up(np.ones(37, np.complex64))
+        o1 = jax.tree_util.tree_map(lambda v: v, o0)
+        y0, _ = o0.mix_block_up(np.ones(23, np.complex64))
+        y1, _ = o1.mix_block_up(np.ones(23, np.complex64))
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    @autotest("nco_crcf_pll_phase", "nco_crcf_pll_freq")
     def test_pll_locks(self):
         """PLL phase lock (osc.rs:229-312): track a fixed phase offset."""
         phase_offset = 0.7

@@ -9,6 +9,7 @@ bsequence.rs).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tests.autotest import autotest
@@ -110,6 +111,19 @@ class TestSymStream:
         ]
         assert validate_psd_spgram(sp, regions)
 
+    @autotest("symstreamcf_copy", "symstreamrcf_copy")
+    def test_copy_midstream(self):
+        """Copied generator continues identically (liquid symstreamcf_copy /
+        symstreamrcf_copy)."""
+        import copy as _copy
+        for mk in (lambda: SymStream(), lambda: SymStreamR(bw=0.25)):
+            g0 = mk()
+            _ = g0.write_samples(300)
+            g1 = _copy.deepcopy(g0)
+            a = g0.write_samples(200)
+            b = g1.write_samples(200)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_block_size_independence(self):
         g1 = SymStream()
         a = g1.write_samples(333)
@@ -185,6 +199,21 @@ class TestSymsync:
         y, ny, sync = sync.execute(x)
         assert abs(int(ny) - 200) <= 4  # k_out=2: one output per input sample
 
+    @autotest("symsync_copy")
+    def test_copy_midstream(self):
+        """Copied synchronizer continues bit-identically (liquid
+        symsync_copy)."""
+        rng = np.random.default_rng(8)
+        x = (rng.normal(size=400) + 1j * rng.normal(size=400)).astype(np.complex64)
+        s0 = Symsync.create_rnyquist(FirFilterShape.RRCOS, 2, 5, 0.3)
+        _, _, s0 = s0.execute(jnp.asarray(x[:200]))
+        s1 = jax.tree_util.tree_map(lambda v: v, s0)
+        y0, n0, _ = s0.execute(jnp.asarray(x[200:]))
+        y1, n1, _ = s1.execute(jnp.asarray(x[200:]))
+        assert int(n0) == int(n1)
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    @autotest("symsync_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             Symsync.create_rnyquist(FirFilterShape.RRCOS, 1, 5, 0.3)

@@ -93,6 +93,7 @@ class TestShifts:
 
 
 class TestMiscVector:
+    @autotest("nco_unwrap_phase")
     def test_unwrap_phase(self):
         t = np.linspace(0, 20, 400)
         theta = 2.1 * t  # monotone ramp well past ±π
@@ -126,12 +127,14 @@ class TestGradSearch:
         gs.execute(max_iters=4000, tol=1e-12)
         assert gs.u < 1e-3
 
+    @autotest("gradsearch_maxutility")
     def test_maximize(self):
         u = lambda v: float(-((v[0] - 1.0) ** 2))
         gs = GradSearch(u, [0.0], direction=OptimDirection.MAXIMIZE, gamma=0.05)
         gs.execute(max_iters=2000)
         assert abs(gs.v[0] - 1.0) < 0.05
 
+    @autotest("gradsearch_rosenbrock")
     def test_monotone_improvement(self):
         gs = GradSearch(_rosenbrock, [-1.0, 1.0], gamma=0.01)
         u0 = gs.u
@@ -145,6 +148,7 @@ class TestGradSearch:
 
 
 class TestQnSearch:
+    @autotest("qnsearch_rosenbrock", "optim_rosenbrock")
     def test_rosenbrock(self):
         qs = QnSearch(_rosenbrock, [-1.2, 1.0])
         v = qs.execute(max_iters=300)
@@ -156,6 +160,17 @@ class TestQnSearch:
         qs = QnSearch(u, [3.0, 3.0], direction=OptimDirection.MAXIMIZE)
         qs.execute(max_iters=100)
         np.testing.assert_allclose(qs.v, [0.5, 0.0], atol=1e-4)
+
+
+class TestQnSearchConfig:
+    @autotest("qnsearch_config")
+    def test_invalid(self):
+        with pytest.raises(ConfigError):
+            QnSearch(_rosenbrock, [0.0, 0.0], delta=-1e-3)
+        qs = QnSearch(_rosenbrock, [-1.2, 1.0])
+        assert qs.num_steps == 0
+        qs.step()
+        assert qs.num_steps == 1
 
 
 class TestChromosome:

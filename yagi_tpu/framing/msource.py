@@ -72,6 +72,35 @@ class _Noise(_Source):
         return out.astype(np.complex64)
 
 
+class _Chirp(_Source):
+    """Linear FM sweep across ``bw`` over ``duration`` samples
+    (liquid msource_crcf_add_chirp; msourcecf_chirp autotest)."""
+
+    def __init__(self, fc: float, bw: float, gain_db: float,
+                 duration: float, negate: bool, repeat: bool):
+        super().__init__(fc, gain_db)
+        if not 0.0 < bw <= 1.0:
+            raise ConfigError(f"chirp bandwidth ({bw}) not in (0,1]")
+        if duration < 1:
+            raise ConfigError(f"chirp duration ({duration}) must be >= 1")
+        self.bw = float(bw)
+        self.duration = float(duration)
+        self.negate = bool(negate)
+        self.repeat = bool(repeat)
+        self._t = 0.0
+
+    def baseband(self, n: int, rng) -> np.ndarray:
+        t = self._t + np.arange(n, dtype=np.float64)
+        tt = np.mod(t, self.duration) if self.repeat \
+            else np.minimum(t, self.duration)
+        # instantaneous freq sweeps -bw/2 -> +bw/2; phase is its integral
+        sgn = -1.0 if self.negate else 1.0
+        phase = 2 * np.pi * sgn * self.bw * (tt * tt / (2 * self.duration)
+                                             - tt / 2)
+        self._t += n
+        return np.exp(1j * phase).astype(np.complex64)
+
+
 class _ModemSrc(_Source):
     def __init__(self, fc: float, bw: float, gain_db: float, scheme: str,
                  m: int, beta: float):
@@ -103,6 +132,13 @@ class MSource:
     def add_noise(self, fc: float, bw: float, gain_db: float = 0.0) -> int:
         """Band-limited Gaussian noise (liquid ``msource_add_noise``)."""
         return self._add(_Noise(fc, bw, gain_db))
+
+    def add_chirp(self, fc: float, bw: float, gain_db: float = 0.0,
+                  duration: float = 1000.0, negate: bool = False,
+                  repeat: bool = True) -> int:
+        """Linear FM chirp sweeping bw over duration samples
+        (liquid ``msource_add_chirp``)."""
+        return self._add(_Chirp(fc, bw, gain_db, duration, negate, repeat))
 
     def add_modem(self, scheme: str, fc: float, bw: float,
                   gain_db: float = 0.0, m: int = 7,

@@ -60,13 +60,33 @@ class QDSync:
                                   threshold=threshold, dphi_max=dphi_max,
                                   n_dphi=n_dphi)
 
+    def set_buf_len(self, n: int) -> None:
+        """Cap the number of symbols extracted per detection
+        (liquid ``qdsync_cccf_set_buf_len``; qdsync_set_buf_len autotest).
+
+        The batch analog of liquid's streaming output-buffer length: a
+        default bound applied when ``execute`` is called without
+        ``n_symbols``.
+        """
+        if n < self.preamble.size:
+            raise ConfigError(
+                f"buffer length ({n}) must be >= preamble length "
+                f"({self.preamble.size})")
+        self._buf_len = int(n)
+
+    def get_buf_len(self) -> int:
+        return getattr(self, "_buf_len", 0) or 0
+
     def execute(self, x, n_symbols: int | None = None):
         """Search buffer ``x``; return None or ``(symbols, stats)``.
 
         ``symbols`` starts at the first preamble symbol; ``n_symbols``
-        bounds how many are extracted (default: as many as the buffer
-        holds). ``stats``: rxy, tau, dphi, phi, gamma, evm_db (preamble).
+        bounds how many are extracted (default: the ``set_buf_len`` cap
+        if set, else as many as the buffer holds). ``stats``: rxy, tau,
+        dphi, phi, gamma, evm_db (preamble).
         """
+        if n_symbols is None and getattr(self, "_buf_len", 0):
+            n_symbols = self._buf_len
         x = np.asarray(x, dtype=np.complex64).ravel()
         det = self.detector.detect(x)
         if det is None:

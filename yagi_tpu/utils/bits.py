@@ -14,6 +14,7 @@ __all__ = [
     "count_bit_errors",
     "count_bit_errors_array",
     "byte_reverse",
+    "halfword_reverse",
     "word_reverse",
     "count_leading_zeros",
     "msb_index",
@@ -54,6 +55,14 @@ def byte_reverse(x: int) -> int:
     x = ((x & 0xCC) >> 2) | ((x & 0x33) << 2)
     x = ((x & 0xAA) >> 1) | ((x & 0x55) << 1)
     return x
+
+
+def halfword_reverse(x: int) -> int:
+    """Reverse bits within a 16-bit halfword (bits.rs, reverse_uint16)."""
+    out = 0
+    for i in range(16):
+        out = (out << 1) | ((x >> i) & 1)
+    return out
 
 
 def word_reverse(x: int) -> int:

@@ -26,6 +26,7 @@ from yagi_tpu.parallel import sharded_channelize, sharded_channelize_fm
 
 class TestFirpfbch:
     @pytest.mark.parametrize("M", [4, 8, 16])
+    @autotest("firpfbch_crcf_analysis")
     def test_tone_isolation(self, M):
         ch = Firpfbch.create_kaiser(M, 4, 60.0)
         n = 128
@@ -61,6 +62,7 @@ class TestFirpfbch:
             z = np.asarray(z)[::M]  # decimate, aligned at sample 0
             np.testing.assert_allclose(y[k], z, rtol=2e-4, atol=2e-4)
 
+    @autotest("firpfbch_crcf_synthesis")
     def test_synthesis_analysis_roundtrip(self):
         M, m = 8, 4
         N = 300
@@ -101,6 +103,7 @@ class TestFirpfbch:
             np.asarray(y1), np.concatenate(parts, axis=-1), rtol=1e-5, atol=1e-5
         )
 
+    @autotest("firpfbch_crcf_config")
     def test_invalid(self):
         with pytest.raises(ConfigError):
             Firpfbch.create_kaiser(1)
@@ -131,6 +134,21 @@ class TestFirpfbch2:
         x = np.zeros(M // 2 * 40, dtype=np.complex64)
         y, ch = ch.analyzer_execute(x)
         assert y.shape == (M, 40)  # one output step per M/2 inputs
+
+    @autotest("firpfbch2_crcf_copy")
+    def test_copy_midstream(self):
+        """Copied oversampled channelizer continues bit-identically
+        (liquid firpfbch2_crcf_copy)."""
+        rng = np.random.default_rng(41)
+        M = 8
+        x = (rng.normal(size=M // 2 * 24)
+             + 1j * rng.normal(size=M // 2 * 24)).astype(np.complex64)
+        c0 = Firpfbch2.create(M, 4, 60.0)
+        _, c0 = c0.analyzer_execute(x[: M // 2 * 12])
+        c1 = jax.tree_util.tree_map(lambda v: v, c0)
+        y0, _ = c0.analyzer_execute(x[M // 2 * 12:])
+        y1, _ = c1.analyzer_execute(x[M // 2 * 12:])
+        np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
     @autotest("firpfbch2_crcf_config")
     def test_invalid(self):

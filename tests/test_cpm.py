@@ -79,6 +79,27 @@ class TestGmsk:
         np.testing.assert_allclose(np.asarray(y[2]), np.asarray(y0),
                                    atol=1e-5)
 
+    @autotest("gmskmod_copy", "gmskdem_copy")
+    def test_copy_midstream(self):
+        """Copied GMSK mod/demod continue bit-identically
+        (liquid gmskmod_copy / gmskdem_copy)."""
+        import jax
+        rng = np.random.default_rng(23)
+        bits = rng.integers(0, 2, 64).astype(np.int32)
+        m0 = GmskMod.create(k=4, m=3, bt=0.3)
+        _, m0 = m0.modulate(bits[:32])
+        m1 = jax.tree_util.tree_map(lambda v: v, m0)
+        a0, m0 = m0.modulate(bits[32:])
+        a1, m1 = m1.modulate(bits[32:])
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        d0 = GmskDem.create(k=4, m=3, bt=0.3)
+        _, d0 = d0.demodulate(np.asarray(a0))
+        d1 = jax.tree_util.tree_map(lambda v: v, d0)
+        y, _ = m0.modulate(bits[:32])
+        b0, _ = d0.demodulate(np.asarray(y))
+        b1, _ = d1.demodulate(np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+
     def test_config_errors(self):
         with pytest.raises(ConfigError):
             GmskMod.create(k=1)
@@ -141,6 +162,25 @@ class TestCpfsk:
         y, _ = mod.modulate(syms)
         np.testing.assert_allclose(np.abs(np.asarray(y)), 1.0, atol=1e-5)
 
+    @autotest("cpfskmodem_spectrum")
+    def test_spectrum_confined(self):
+        """Modulated spectrum is confined near the signal band and rolls
+        off out of band (liquid cpfskmodem_spectrum PSD-mask test)."""
+        rng = np.random.default_rng(19)
+        syms = rng.integers(0, 4, 2048).astype(np.int32)
+        mod = CpfskMod.create(bps=2, h_index=0.5, k=4, m=3,
+                              ftype=CpfskFilterType.RCOS_PARTIAL)
+        y, _ = mod.modulate(syms)
+        y = np.asarray(y)
+        spec = np.abs(np.fft.fftshift(np.fft.fft(y * np.hanning(y.size))))**2
+        f = np.arange(y.size) / y.size - 0.5
+        psd_db = 10*np.log10(spec / spec.max() + 1e-30)
+        # out-of-band rolloff: CPM sidelobes fall monotonically
+        assert psd_db[np.abs(f) > 0.35].max() < -20.0
+        assert psd_db[np.abs(f) > 0.45].max() < -30.0
+        # in-band energy dominates
+        assert spec[np.abs(f) < 0.25].sum() / spec.sum() > 0.95
+
     def test_phase_per_symbol(self):
         """Full-response square pulse: each symbol advances the phase by
         exactly pi*h*(2s-(M-1)) once its pulse completes."""
@@ -166,6 +206,7 @@ class TestCpfsk:
         np.testing.assert_allclose(np.asarray(y_all),
                                    np.concatenate(parts), atol=1e-5)
 
+    @autotest("cpfskmodem_config")
     def test_config_errors(self):
         with pytest.raises(ConfigError):
             CpfskMod.create(bps=0)

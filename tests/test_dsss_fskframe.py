@@ -31,7 +31,7 @@ def _channel(tx, delay, dphi, phi, gamma, snr_db, seed):
 
 class TestDsssFrame64:
     @pytest.mark.parametrize("sf", [4, 8, 16])
-    @autotest("dsssframe64sync")
+    @autotest("dsssframe64sync", "dsssframesync")
     def test_roundtrip(self, sf):
         gen = DsssFrameGen64(sf=sf)
         sync = DsssFrameSync64(sf=sf)
@@ -47,6 +47,26 @@ class TestDsssFrame64:
         assert res["header_valid"] and res["payload_valid"]
         np.testing.assert_array_equal(res["header"], header)
         np.testing.assert_array_equal(res["payload"], payload)
+
+    @autotest("dsssframe64gen_copy", "dsssframe64sync_copy")
+    def test_copy(self):
+        """Copied gen/sync behave identically (liquid dsssframe64gen_copy /
+        dsssframe64sync_copy)."""
+        import copy as _copy
+        rng = np.random.default_rng(33)
+        header = rng.integers(0, 256, 8).astype(np.uint8)
+        payload = rng.integers(0, 256, 64).astype(np.uint8)
+        g0 = DsssFrameGen64(sf=4)
+        g1 = _copy.deepcopy(g0)
+        t0, t1 = g0.execute(header, payload), g1.execute(header, payload)
+        np.testing.assert_array_equal(t0, t1)
+        rx = _channel(t0, delay=40, dphi=0.0, phi=0.3, gamma=1.0,
+                      snr_db=25, seed=34)
+        s0 = DsssFrameSync64(sf=4)
+        s1 = _copy.deepcopy(s0)
+        r0, r1 = s0.execute(rx), s1.execute(rx)
+        assert r0 is not None and r1 is not None
+        np.testing.assert_array_equal(r0["payload"], r1["payload"])
 
     def test_low_snr_processing_gain(self):
         """liquid dsssframe64 raison d'etre: decode near 0 dB SNR thanks
@@ -88,6 +108,7 @@ class TestFskFrame:
     @pytest.mark.parametrize("m,k,bw", [
         (1, 8, 0.25), (2, 8, 0.25), (1, 4, 0.2), (3, 16, 0.3),
     ])
+    @autotest("fskframesync")
     def test_roundtrip(self, m, k, bw):
         gen = FskFrameGen(m=m, k=k, bandwidth=bw, header_len=8)
         sync = FskFrameSync(m=m, k=k, bandwidth=bw, header_len=8)

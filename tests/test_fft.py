@@ -80,6 +80,33 @@ def test_fft_object():
 
 
 class TestSpgram:
+    @autotest("spgram_gnuplot", "spwaterfall_gnuplot")
+    def test_gnuplot_export(self, tmp_path):
+        """Gnuplot export writes a plottable script + data
+        (liquid spgram_gnuplot / spwaterfall_gnuplot)."""
+        from yagi_tpu.fft import Spwaterfall
+        rng = np.random.default_rng(7)
+        x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)
+             ).astype(np.complex64)
+        sp = yfft.Spgram.create(128, WindowType.HAMMING, 64, 32).write(x)
+        p = str(tmp_path / "psd.gnu")
+        sp.export_gnuplot(p)
+        txt = open(p).read()
+        assert "plot" in txt and txt.count("\n") > 128
+        # every data line parses as two floats
+        data = [l for l in txt.splitlines()
+                if l and not l.startswith(("#", "set", "reset", "plot", "e"))]
+        assert len(data) == 128
+        f0, p0 = map(float, data[0].split())
+        assert f0 == -0.5
+        w = Spwaterfall.create(128, time_rows=16, transforms_per_row=4)
+        w = w.write(jnp.asarray(x))
+        base = str(tmp_path / "waterfall")
+        w.export_gnuplot(base)
+        assert "binary matrix" in open(base + ".gnu").read()
+        import os
+        assert os.path.getsize(base + ".bin") > 128 * 4
+
     def test_accumulate_matches_direct(self):
         """Block-streamed accumulate-mode PSD == direct frame-by-frame math."""
         rng = np.random.default_rng(42)

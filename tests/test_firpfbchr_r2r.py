@@ -30,6 +30,7 @@ def _direct_channel(x, h, M, P, k, t_steps):
 class TestFirpfbchr:
     @pytest.mark.parametrize("M,P", [(8, 8), (8, 4), (8, 6), (16, 5),
                                      (12, 12), (20, 7)])
+    @autotest("firpfbchr_crcf")
     def test_matches_direct(self, M, P):
         """Bank output == mix/filter/decimate for every channel."""
         ch = Firpfbchr.create_kaiser(M, P, m=3, as_=60.0)
@@ -80,6 +81,7 @@ class TestFirpfbchr:
         others = np.delete(pwr, c)
         assert 10 * np.log10(others.max() / pwr[c]) < -50.0
 
+    @autotest("firpfbchr_crcf_config")
     def test_config_errors(self):
         with pytest.raises(ConfigError):
             Firpfbchr.create_kaiser(1, 1)
@@ -168,6 +170,19 @@ class TestAsgram:
         assert abs(fpk - 0.1875) < 1.5 / 64
         # the peak bin renders as the highest-level character present
         assert line[np.argmax([a.levels.index(c) for c in line])] != " "
+
+    @autotest("asgramcf_copy")
+    def test_copy(self):
+        """Copied ASCII spectrogram renders identically
+        (liquid asgramcf_copy)."""
+        import copy as _copy
+        a0 = Asgram(64)
+        n = np.arange(2048)
+        a0.push(np.exp(2j * np.pi * 0.125 * n).astype(np.complex64))
+        a1 = _copy.deepcopy(a0)
+        l0, f0, p0 = a0.execute()
+        l1, f1, p1 = a1.execute()
+        assert l0 == l1 and f0 == f1 and p0 == p1
 
     def test_display_scale(self):
         a = Asgram(32)

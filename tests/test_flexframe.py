@@ -37,6 +37,7 @@ class TestFlexFrame:
         ("psk8", "crc32", "hamming74", "conv27p23", 80),
         ("bpsk", "crc24", "none", "rep3", 30),
     ])
+    @autotest("flexframesync")
     def test_roundtrip_props(self, mod, crc, fec0, fec1, plen):
         """liquid autotest flexframesync model: payload properties signaled
         in-band are recovered and the payload decodes CRC-clean."""

@@ -168,6 +168,43 @@ class TestFrame64:
                  ).astype(np.complex64)
         assert sync.execute(noise) is None
 
+    @autotest("framesync64_debug_user", "framesync64_debug_ndet",
+              "framesync64_debug_head")
+    def test_debug_export(self, tmp_path):
+        """Debug export writes an Octave script for the last buffer in all
+        three reference situations: decoded frame, no detection, and a
+        corrupted (header-fail) frame (liquid framesync64_debug_*)."""
+        rng = np.random.default_rng(29)
+        hdr = rng.integers(0, 256, 8).astype(np.uint8)
+        pld = rng.integers(0, 256, 64).astype(np.uint8)
+        frame = FrameGen64().execute(hdr, pld)
+        sync = FrameSync64()
+        with pytest.raises(ConfigError):
+            sync.debug_export(str(tmp_path / "early.m"))  # nothing yet
+        # 1) user frame decoded
+        buf = np.zeros(FRAME64_LEN + 80, np.complex64)
+        buf[40: 40 + FRAME64_LEN] = frame
+        assert sync.execute(buf) is not None
+        p1 = str(tmp_path / "user.m")
+        sync.debug_export(p1)
+        t1 = open(p1).read()
+        assert "frame_detected = 1;" in t1 and "syms = [" in t1
+        # 2) no detection
+        noise = (0.01 * (rng.normal(size=buf.size)
+                         + 1j * rng.normal(size=buf.size))).astype(np.complex64)
+        assert sync.execute(noise) is None
+        p2 = str(tmp_path / "ndet.m")
+        sync.debug_export(p2)
+        assert "frame_detected = 0;" in open(p2).read()
+        # 3) header corrupted mid-frame: detection still exports
+        bad = buf.copy()
+        bad[40 + 700: 40 + 900] = 0  # blast the header region
+        r = sync.execute(bad)
+        p3 = str(tmp_path / "head.m")
+        sync.debug_export(p3)
+        t3 = open(p3).read()
+        assert "num_samples = %d;" % bad.size in t3
+
     @autotest("framegen64_copy", "framesync64_copy")
     def test_gen_sync_copy(self):
         """Copied generator/synchronizer behave identically

@@ -11,7 +11,29 @@ import pytest
 
 import jax.numpy as jnp
 
+from tests.autotest import autotest
 from yagi_tpu.sequence import BSequence, MSequence
+
+
+class TestLibrarySanity:
+    @autotest("libliquid", "null")
+    def test_package_links_and_versions(self):
+        """Library-level sanity (liquid autotest_libliquid / autotest_null:
+        version string resolves and the library links). Package analog:
+        __version__ present, every public subpackage imports, and the
+        native C shim loader responds."""
+        import importlib
+        import yagi_tpu
+        assert isinstance(yagi_tpu.__version__, str)
+        assert len(yagi_tpu.__version__.split(".")) >= 2
+        for sub in ("math", "fft", "design", "filter", "nco", "agc",
+                    "equalization", "modem", "fec", "framing",
+                    "multichannel", "parallel", "chains", "kernels",
+                    "audio", "random", "matrix", "optim", "quantization",
+                    "channel", "sequence", "utils", "errors"):
+            importlib.import_module(f"yagi_tpu.{sub}")
+        from yagi_tpu.native import native_available
+        assert native_available() in (True, False)
 
 
 class TestNativeBsequence:

@@ -274,6 +274,25 @@ class Spgram:
         """FFT-shifted PSD in dB (spgram.rs:309-316)."""
         return 10.0 * jnp.log10(self.get_psd_mag())
 
+    def export_gnuplot(self, path: str) -> None:
+        """Write a standalone gnuplot script of the current PSD
+        (liquid ``spgram_export_gnuplot``; spgram_gnuplot autotest)."""
+        import numpy as _np
+        psd = _np.asarray(self.get_psd())
+        f = _np.arange(self.nfft) / self.nfft - 0.5
+        with open(path, "w") as fh:
+            fh.write("# %s: auto-generated by yagi_tpu Spgram\n" % path)
+            fh.write("reset\n")
+            fh.write("set terminal png size 800,600\n")
+            fh.write("set xrange [-0.5:0.5]\n")
+            fh.write("set xlabel 'Normalized Frequency [f/Fs]'\n")
+            fh.write("set ylabel 'PSD [dB]'\n")
+            fh.write("set grid\n")
+            fh.write("plot '-' w lines lw 2 notitle\n")
+            for fi, pi in zip(f, psd):
+                fh.write("%12.8f %12.6f\n" % (fi, pi))
+            fh.write("e\n")
+
     def clear(self) -> "Spgram":
         """Reset accumulation but keep the sample buffer (spgram.rs:136)."""
         return self.replace(

@@ -118,3 +118,29 @@ class Spwaterfall:
         """Waterfall in dB, [rows_filled, nfft] (rows oldest-first)."""
         k = int(np.asarray(self.num_rows))
         return 10.0 * jnp.log10(jnp.maximum(self.psd_rows[:k], 1e-12))
+
+    def export_gnuplot(self, base: str) -> None:
+        """Write gnuplot script ``base.gnu`` + binary matrix ``base.bin``
+        (liquid ``spwaterfall_export``; spwaterfall_gnuplot autotest)."""
+        psd = np.asarray(self.get_psd(), dtype=np.float32)
+        rows, nfft = psd.shape
+        with open(base + ".bin", "wb") as fh:
+            # gnuplot binary matrix format: first row is nfft then freqs
+            header = np.concatenate(
+                [[np.float32(nfft)],
+                 (np.arange(nfft, dtype=np.float32) / nfft - 0.5)])
+            fh.write(header.astype(np.float32).tobytes())
+            for r in range(rows):
+                fh.write(np.concatenate(
+                    [[np.float32(r)], psd[r]]).astype(np.float32).tobytes())
+        with open(base + ".gnu", "w") as fh:
+            fh.write("# %s.gnu: auto-generated by yagi_tpu Spwaterfall\n"
+                     % base)
+            fh.write("reset\n")
+            fh.write("set terminal png size 800,600\n")
+            fh.write("set xrange [-0.5:0.5]\n")
+            fh.write("set yrange [0:%d]\n" % max(rows - 1, 1))
+            fh.write("set xlabel 'Normalized Frequency [f/Fs]'\n")
+            fh.write("set ylabel 'Time [rows]'\n")
+            fh.write("plot '%s.bin' binary matrix with image notitle\n"
+                     % base)

@@ -138,6 +138,7 @@ class FrameSync64:
     def execute(self, x):
         x = np.asarray(x, dtype=np.complex64).ravel()
         det = self.detector.detect(x)
+        self._debug = {"x": x, "det": det, "syms": None}
         if det is None:
             return None
         tau, dphi, phi, gamma = (det["tau"], det["dphi"], det["phi"],
@@ -158,6 +159,7 @@ class FrameSync64:
         if idx[-1] >= z.size:
             return None  # frame truncated by the buffer edge
         syms = z[idx].astype(np.complex64)
+        self._debug["syms"] = syms
         # residual carrier: LSQ linear phase fit on the known preamble
         e = syms[:64] * np.conj(self._pre)
         w = np.abs(e)
@@ -191,3 +193,33 @@ class FrameSync64:
                 "phi": phi, "gamma": gamma, "evm_db": float(evm_db),
             },
         }
+
+    def debug_export(self, path: str) -> None:
+        """Write the last processed buffer/symbols as an Octave script
+        (liquid ``framesync64_debug_export``; framesync64_debug_{user,
+        ndet,head} autotests: export succeeds whether or not the last
+        buffer produced a detection or a decodable header)."""
+        dbg = getattr(self, "_debug", None)
+        if dbg is None:
+            raise ConfigError("no buffer processed yet; nothing to export")
+
+        def _wvec(fh, name, v):
+            fh.write("%s = [" % name)
+            fh.write(" ".join("(%r+%rj)" % (float(s.real), float(s.imag))
+                              for s in np.asarray(v).ravel()))
+            fh.write("];\n")
+
+        with open(path, "w") as fh:
+            fh.write("%% %s: auto-generated by yagi_tpu FrameSync64\n"
+                     % path)
+            fh.write("clear all; close all;\n")
+            fh.write("num_samples = %d;\n" % dbg["x"].size)
+            _wvec(fh, "x", dbg["x"])
+            det = dbg["det"]
+            fh.write("frame_detected = %d;\n" % (0 if det is None else 1))
+            if det is not None:
+                fh.write("tau_hat = %r; dphi_hat = %r; gamma_hat = %r;\n"
+                         % (float(det["tau"]), float(det["dphi"]),
+                            float(det["gamma"])))
+            if dbg["syms"] is not None:
+                _wvec(fh, "syms", dbg["syms"])

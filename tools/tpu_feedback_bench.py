@@ -97,6 +97,22 @@ def main() -> int:
             results[f"qamrx_c{channels}"] = {"error": str(e)[:200]}
             print(f"qamrx C={channels} FAILED: {e}", file=sys.stderr)
 
+    # masked (slot-fed, no compaction) path — what bench config[3] measures
+    for channels in (256, 1024):
+        px = make_px(channels)
+        mkq = lambda: QamRx.create(batch_shape=(channels,))
+        n_steps = 4 if channels <= 256 else 2
+        try:
+            m_q, r_q = pc.chain_rate(
+                jax, jnp, mkq, lambda s, v: s.step_masked(v),
+                channels * block, n_steps, 3, px,
+            )
+            results[f"qamrx_masked_c{channels}"] = {"msps": round(m_q, 1)}
+            print(f"qamrx masked C={channels}: {m_q:.1f} Msps")
+        except Exception as e:
+            results[f"qamrx_masked_c{channels}"] = {"error": str(e)[:200]}
+            print(f"qamrx masked C={channels} FAILED: {e}", file=sys.stderr)
+
     pc.write_artifact("FEEDBACK_PROFILE.json", results, jax, jnp)
     return 0
 

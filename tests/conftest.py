@@ -25,6 +25,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent XLA compilation cache: the suite is dominated by lax.scan
+# compiles (AGC/PLL/symsync feedback kernels recompile identical HLO across
+# tests); caching them on disk cuts repeat-run wall time sharply.
+_cache_dir = os.environ.get(
+    "YAGI_TEST_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # older jax without the knobs — cache is best-effort
+    pass
+
 
 def pytest_configure(config):
     config.addinivalue_line(

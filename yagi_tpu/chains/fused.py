@@ -100,6 +100,22 @@ class FusedRxChain:
     # ------------------------------------------------------------- streaming
     def step_planar(self, xr, xi):
         """Planar block step: returns (yr, yi, num_valid, new_chain)."""
+        # auto-grow the tile to the measured optimum when the block allows:
+        # r only affects Mosaic scheduling (results are tile-invariant, see
+        # tests/test_fused_chain.py parity), and r=64 measures ~12% faster
+        # than r=32 on-chip (KERNEL_VARIANTS.json; r=128 crashes the remote
+        # compiler — never exceed 64). Shapes are static under jit, so this
+        # resolves at trace time.
+        nb = xr.shape[-1] // 128
+        r = self.r
+        if nb > 0:
+            for cand in (64, 32, 16, 8, 4, 2, 1):
+                if nb % cand == 0:
+                    # largest power-of-two tile the block admits; also
+                    # shrinks below self.r when the block demands it
+                    # (correctness over the configured tile hint)
+                    r = cand
+                    break
         yr, yi = fused_chain_apply(
             xr,
             xi,
@@ -109,7 +125,7 @@ class FusedRxChain:
             self.theta,
             self.d_theta,
             p=self.p,
-            r=self.r,
+            r=r,
             precision=self._precision(),
             interpret=self.interpret,
         )

@@ -38,6 +38,13 @@ except Exception:  # older jax without the knobs — cache is best-effort
     pass
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full suite; CI / round snapshots)",
+    )
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
@@ -45,3 +52,17 @@ def pytest_configure(config):
         "(tests/autotest.py; collected by tools/autotest_dump.py)",
     )
     config.addinivalue_line("markers", "slow: long-running CPU scan test")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default run skips ``slow``-marked tests; ``--runslow`` (or
+    YAGI_RUNSLOW=1) runs everything. Keeps the default path < 15 min while
+    the full conformance surface stays one flag away."""
+    import pytest
+
+    if config.getoption("--runslow") or os.environ.get("YAGI_RUNSLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow test: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -63,6 +63,8 @@ class TestQamRx:
         evm = 10 * np.log10(np.mean(np.abs(ts[:, None] - tab).min(1) ** 2))
         assert evm < -35.0
         assert _tail_ser(got, syms_tx) == 0.0
+        # no symsync emission was ever deferred past the 2-slot capacity
+        assert int(np.asarray(rx.overflow_count)) == 0
 
     def test_impaired_channel(self):
         """config[3]: gain + phase offset + CFO + echo + noise."""
@@ -82,6 +84,8 @@ class TestQamRx:
         assert _tail_ser(got, syms_tx) == 0.0
         # carrier loop actually acquired the offset
         assert abs(float(np.asarray(rx.theta)) % (2 * np.pi)) > 0.05
+        # impairments never pushed the timing loop past the 2-slot capacity
+        assert int(np.asarray(rx.overflow_count)) == 0
 
     def test_block_split_invariance(self):
         _, sig, _ = _tx(seed=7, nsym=1200)

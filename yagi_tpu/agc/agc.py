@@ -212,13 +212,15 @@ class Agc:
         return self.squelch_threshold
 
     def squelch_set_timeout(self, timeout: int) -> "Agc":
-        """Hysteresis timeout in samples (agc.rs squelch_set_timeout)."""
+        """Hysteresis timeout in samples (agc.rs:200-202).
+
+        Only stores the timeout; a countdown already in progress
+        (SQUELCH_TIMEOUT state) keeps its current timer, matching the
+        reference.
+        """
         if timeout <= 0:
             raise ConfigError("squelch timeout must be greater than zero")
-        return self.replace(
-            squelch_timeout=int(timeout),
-            squelch_timer=jnp.full_like(self.squelch_timer, int(timeout)),
-        )
+        return self.replace(squelch_timeout=int(timeout))
 
     def squelch_get_timeout(self) -> int:
         return self.squelch_timeout
@@ -230,22 +232,32 @@ class Agc:
         return self.squelch_mode
 
     # ------------------------------------------------------------- streaming
-    def execute_block(self, x) -> tuple[jnp.ndarray, "Agc"]:
+    def execute_block(self, x, samples_per_step: int | None = None
+                      ) -> tuple[jnp.ndarray, "Agc"]:
         """Gain-control a block via time scan (agc.rs:91).
 
         Scan boundaries are planar f32 (xs split re/im, ys one packed f32
         array): the production TPU toolchain runs scans with complex or
         multi-array ys >1000× slow (kernels/ROOFLINE.md feedback-scan rules).
+        ``samples_per_step`` packs S samples into each scan step (default:
+        largest of 4/2/1 dividing the block) to amortize the ~1.5 µs
+        while-loop fixed cost per step.
         """
         x = jnp.asarray(x)
+        n = x.shape[-1]
         is_c = jnp.issubdtype(x.dtype, jnp.complexfloating)
+        S = samples_per_step
+        if S is None:
+            S = next(s for s in (4, 2, 1) if n % s == 0)
         xt_r = jnp.moveaxis(jnp.real(x), -1, 0)
         xt_i = jnp.moveaxis(jnp.imag(x), -1, 0) if is_c else jnp.zeros_like(xt_r)
+        # [n, ...] → [n/S, S, ...]
+        xt_r = xt_r.reshape((n // S, S) + xt_r.shape[1:])
+        xt_i = xt_i.reshape((n // S, S) + xt_i.shape[1:])
         timeout = self.squelch_timeout
 
-        def step(carry, inp):
+        def sample(carry, xr, xi):
             g, y2p, mode, timer = carry
-            xr, xi = inp
             yr = xr * g
             yi = xi * g
             y2 = yr * yr + yi * yi
@@ -260,14 +272,25 @@ class Agc:
             mode_new = jnp.where(self.locked, mode, mode_new)
             timer_new = jnp.where(self.locked, timer, timer_new)
             s = jnp.where(self.locked, 1.0, self.scale)
-            packed = jnp.stack([yr * s, yi * s], axis=-1)
-            return (g_new, y2p_new, mode_new, timer_new), packed
+            return (g_new, y2p_new, mode_new, timer_new), (yr * s, yi * s)
+
+        def step(carry, inp):
+            xr, xi = inp
+            outs = []
+            for s in range(S):
+                carry, (yr, yi) = sample(carry, xr[s], xi[s])
+                outs.append(jnp.stack([yr, yi], axis=-1))
+            return carry, (jnp.stack(outs, axis=-2) if S > 1 else outs[0])
 
         carry0 = (self.g, self.y2_prime, self.squelch_mode, self.squelch_timer)
         (g, y2p, mode, timer), packed = jax.lax.scan(
-            step, carry0, (xt_r, xt_i), unroll=8
+            step, carry0, (xt_r, xt_i), unroll=max(1, 8 // S)
         )
-        packed = jnp.moveaxis(packed, 0, -2)  # [..., n, 2]
+        if S > 1:  # [n/S, ..., S, 2] → [..., n, 2]
+            packed = jnp.moveaxis(packed, 0, -3)
+            packed = packed.reshape(packed.shape[:-3] + (n, 2))
+        else:
+            packed = jnp.moveaxis(packed, 0, -2)
         y = (
             jax.lax.complex(packed[..., 0], packed[..., 1])
             if is_c

@@ -146,7 +146,7 @@ class QamRx:
         ms = self.evm_accum / jnp.maximum(self.evm_count, 1.0)
         return 10.0 * jnp.log10(jnp.maximum(ms, 1e-12))
 
-    def step_masked(self, x):
+    def step_masked(self, x, samples_per_step: int | None = None):
         """Process one block; masked (uncompacted) outputs.
 
         Returns ``(syms, soft, mask, chain)`` with ``syms``/``soft``/``mask``
@@ -155,25 +155,39 @@ class QamRx:
         the compaction-free fast path — :meth:`step` wraps it with
         front-compaction for the symtrack-style API.
 
+        TPU formulation (round 4): ONE fused lax.scan runs the symsync
+        timing loop AND the eq/carrier loop together — the symsync emission
+        slots feed the equalizer inside the same step, eliminating the
+        second scan's per-step fixed cost (~1.5 µs on this toolchain) and
+        the [..., 2N] intermediate round-trip through HBM. The AGC stays a
+        separate (packed) scan: its gain feedback precedes the matched
+        filter, which is what makes the all-branch MXU precompute legal.
+
         The symsync at ``k_out = 2`` emits ≤ 1 symbol-rate sample per input
-        in steady state; two slots absorb timing transients, and anything
-        beyond slot 2 in one input step (rate < ½ nominal — pathological)
-        is dropped and counted in ``chain.overflow_count``.
+        in steady state; two slots absorb timing transients. When a third
+        emission would be pending within one input step (rate < ½ nominal —
+        pathological), it is deferred to the next step by the bounded
+        emission unroll and counted in ``chain.overflow_count``.
         """
+        from ..filter.symsync import _emit_sample, _sym_carry, _sym_loop_params
+        from ..utils.planar import loop_constants, planarize, unplanarize
+
         x = jnp.asarray(x)
         n = x.shape[-1]
-        y0, agc = self.agc.execute_block(x)
-        # raw emission slots — dense prefix per step, no argsort compaction
-        # (each argsort+gather pass costs ~10 ms/block on TPU)
-        y_slots, v_slots, ss = self.symsync.execute_slots(y0)
         E = 2
-        y1 = y_slots[..., :E].reshape(x.shape[:-1] + (n * E,))
-        valid = v_slots[..., :E].reshape(x.shape[:-1] + (n * E,))
-        overflow = jnp.sum(
-            v_slots[..., E:].astype(jnp.int32), axis=(-1, -2)
+        S = samples_per_step
+        if S is None:
+            S = next(s for s in (4, 2, 1) if n % s == 0)
+        y0, agc = self.agc.execute_block(x)
+        ss = self.symsync
+        kf = jnp.float32(ss.k)
+        xs4, xa = ss.branch_outputs_4xP(y0)
+        # [n, 4, ..., P] → [n/S, S, 4, ..., P]; barrier: in-graph xs
+        # otherwise get re-derived inside every loop iteration
+        xs4 = jax.lax.optimization_barrier(
+            xs4.reshape((n // S, S) + xs4.shape[1:])
         )
-
-        from ..utils.planar import loop_constants, planarize, unplanarize
+        sparams = _sym_loop_params(ss)
 
         # loop-invariant PLL gains and constellation planes materialized
         # outside the scan (in-body input-derived scalars get sunk into
@@ -183,11 +197,10 @@ class QamRx:
             (jnp.real(self.table), jnp.imag(self.table))
         )
 
-        def body(carry, inp):
-            eq, theta, dtheta, sph, eacc, ecnt = unplanarize(carry)
-            xi_r, xi_i, vi_f = inp  # planar f32 xs (TPU feedback-scan rules)
+        def eq_slot(carry, xi_r, xi_i, vi):
+            """One emission slot through eq + carrier PLL (masked on vi)."""
+            eq, theta, dtheta, sph, eacc, ecnt = carry
             xi = jax.lax.complex(xi_r, xi_i)
-            vi = vi_f > 0.5
             eq_p = eq.push(xi)
             y = eq_p.execute()
             is_sym = vi & (sph == 0)
@@ -219,34 +232,54 @@ class QamRx:
             sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
             eacc = jnp.where(can_adapt, eacc + jnp.abs(vs - shat) ** 2, eacc)
             ecnt = jnp.where(can_adapt, ecnt + 1.0, ecnt)
-            # ONE packed f32 ys: [sym, re(vs), im(vs), is_sym]
-            packed = jnp.stack(
-                [s.astype(jnp.float32), jnp.real(vs), jnp.imag(vs),
-                 is_sym.astype(jnp.float32)], axis=-1,
-            )
-            return planarize((eq, theta, dtheta, sph, eacc, ecnt)), packed
+            # per-slot f32 lanes: [sym, re(vs), im(vs), is_sym]
+            lanes = [s.astype(jnp.float32), jnp.real(vs), jnp.imag(vs),
+                     is_sym.astype(jnp.float32)]
+            return (eq, theta, dtheta, sph, eacc, ecnt), lanes
 
-        carry0 = planarize((
+        def body(carry, inp):
+            sym_c, eq_cp, ovf = carry
+            eq_c = unplanarize(eq_cp)
+            packs = []
+            for s in range(S):
+                sym_c, slots, pending = _emit_sample(sparams, sym_c, inp[s], E, kf)
+                lanes = []
+                for (yr, yi, vf) in slots:
+                    eq_c, slot_lanes = eq_slot(eq_c, yr, yi, vf > 0.5)
+                    lanes += slot_lanes
+                # deferred third emission this input step (see docstring)
+                ovf = ovf + pending.astype(jnp.int32)
+                packs.append(jnp.stack(lanes, axis=-1))  # [..., 4E]
+            packed = jnp.stack(packs, axis=-2) if S > 1 else packs[0]
+            return (sym_c, planarize(eq_c), ovf), packed
+
+        eq_carry0 = (
             self.eq, self.theta, self.dtheta, self.sym_phase,
             self.evm_accum, self.evm_count,
-        ))
-        # barrier: scan xs computed in-graph otherwise get re-derived inside
-        # every loop iteration on this toolchain (utils.loop_constants note)
-        xt_r, xt_i, vt_f = jax.lax.optimization_barrier((
-            jnp.moveaxis(jnp.real(y1), -1, 0),
-            jnp.moveaxis(jnp.imag(y1), -1, 0),
-            jnp.moveaxis(valid.astype(jnp.float32), -1, 0),
-        ))
-        carry, packed = jax.lax.scan(body, carry0, (xt_r, xt_i, vt_f), unroll=4)
-        eq, theta, dtheta, sph, eacc, ecnt = unplanarize(carry)
+        )
+        carry0 = (_sym_carry(ss), planarize(eq_carry0),
+                  jnp.zeros_like(self.overflow_count))
+        carry, packed = jax.lax.scan(body, carry0, xs4, unroll=max(1, 4 // S))
+        sym_c, eq_cp, overflow = carry
+        (b, bf, tau, tau_d, rate, delta, dec, pv) = sym_c
+        eq, theta, dtheta, sph, eacc, ecnt = unplanarize(eq_cp)
 
-        packed = jnp.moveaxis(packed, 0, -2)  # [..., 2N, 4]
+        if S > 1:  # [n/S, ..., S, 4E] → [..., 2N, 4]
+            packed = jnp.moveaxis(packed, 0, -3)
+            packed = packed.reshape(packed.shape[:-3] + (n * E, 4))
+        else:
+            packed = jnp.moveaxis(packed, 0, -2)
+            packed = packed.reshape(packed.shape[:-2] + (n * E, 4))
         syms = packed[..., 0].astype(jnp.uint32)
         soft = jax.lax.complex(packed[..., 1], packed[..., 2])
         mask = packed[..., 3] > 0.5
 
+        ss_new = ss.replace(
+            window=xa[..., n:], b=b, bf=bf, tau=tau, tau_decim=tau_d,
+            rate=rate, delta=delta, decim_counter=dec, pll_v=pv,
+        )
         new = self.replace(
-            agc=agc, symsync=ss, eq=eq, theta=theta, dtheta=dtheta,
+            agc=agc, symsync=ss_new, eq=eq, theta=theta, dtheta=dtheta,
             sym_phase=sph, evm_accum=eacc, evm_count=ecnt,
             overflow_count=self.overflow_count + overflow,
         )
@@ -258,19 +291,14 @@ class QamRx:
         Returns ``(syms, soft, num_syms, chain)``: ``syms`` (uint32) and
         ``soft`` (complex, carrier-corrected equalizer output) have capacity
         ``2·N`` entries compacted to the front; ``num_syms`` counts the
-        valid ones. Emissions beyond 2 per input step are dropped and
+        valid ones. Emissions beyond 2 per input step are deferred and
         counted in ``chain.overflow_count`` (see :meth:`step_masked`).
         """
+        from ..utils.compact import compact_valid
+
         syms, soft, mask, new = self.step_masked(x)
-        cap = syms.shape[-1]
-        num_syms = jnp.sum(mask.astype(jnp.int32), axis=-1)
-        order = jnp.argsort(~mask, axis=-1, stable=True)
-        syms = jnp.take_along_axis(syms, order, axis=-1)
-        soft = jnp.take_along_axis(soft, order, axis=-1)
-        live = (jnp.arange(cap) < num_syms[..., None] if num_syms.ndim
-                else jnp.arange(cap) < num_syms)
-        soft = jnp.where(live, soft, 0)
-        syms = jnp.where(live, syms, 0)
+        soft, num_syms = compact_valid(soft, mask)
+        syms, _ = compact_valid(syms, mask)
         return syms, soft, num_syms, new
 
     __call__ = step

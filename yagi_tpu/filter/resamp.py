@@ -166,8 +166,18 @@ class Resamp:
 
     # ---------------------------------------------------------------- control
     def reset(self) -> "Resamp":
+        # phase returns to 0, so the static-schedule certificate can be
+        # re-established — but only when the current step is concrete and
+        # still equals the create-time nominal step (field comment above).
+        sched = self.exact_sched
+        if sched is None and not isinstance(self.step, jax.core.Tracer):
+            nominal_step = int(np.round((1 << 24) / self.nominal_rate))
+            if int(np.asarray(self.step)) == nominal_step:
+                sched = _pq_of_step(nominal_step)
         return self.replace(
-            phase=jnp.zeros_like(self.phase), window=jnp.zeros_like(self.window)
+            phase=jnp.zeros_like(self.phase),
+            window=jnp.zeros_like(self.window),
+            exact_sched=sched,
         )
 
     def set_rate(self, rate) -> "Resamp":

@@ -29,6 +29,93 @@ __all__ = ["Symsync"]
 _MAX_EMIT = 4  # emissions per input sample never exceed ceil(1/del)+1 ≤ 4 for k ≥ 2
 
 
+def _sym_loop_params(ss: "Symsync"):
+    """Loop-invariant constants for :func:`_emit_sample`.
+
+    Broadcast + barrier'd batch-shaped vectors (utils.loop_constants): rank-0
+    in-body slices like ``pll_a[1]`` get sunk into every while-loop iteration
+    on this toolchain (kernels/ROOFLINE.md "Loop-invariant sinking").
+    """
+    from ..utils.planar import loop_constants
+
+    pa1, pa2, pb0, pb1, pb2 = loop_constants(
+        ss.pll_a[1], ss.pll_a[2],
+        ss.pll_b[0], ss.pll_b[1], ss.pll_b[2], like=ss.tau,
+    )
+    return dict(
+        npfb=ss.npfb,
+        k_out=ss.k_out,
+        pidx=jnp.arange(ss.npfb, dtype=jnp.int32),
+        locked=ss.locked,
+        radj=ss.rate_adjustment,
+        pa1=pa1, pa2=pa2, pb0=pb0, pb1=pb1, pb2=pb2,
+    )
+
+
+def _sym_carry(ss: "Symsync"):
+    return (ss.b, ss.bf, ss.tau, ss.tau_decim, ss.rate, ss.delta,
+            ss.decim_counter, ss.pll_v)
+
+
+def _emit_sample(params, carry, x4, E: int, kf):
+    """Process ONE input sample of the symsync control loop (symsync.rs:230-266).
+
+    ``x4``: [4, ..., P] all-branch filter outputs for this sample, planes
+    ordered (re·mf, im·mf, re·dmf, im·dmf) — ONE masked one-hot sum selects
+    all four at once. Returns ``(carry', slots, pending)`` with ``slots`` a
+    list of ``E`` tuples ``(yr, yi, active_f32)`` (matched-filter output / k
+    and emission validity) and ``pending`` a bool flagging an E+1-th emission
+    that would still be due this sample (deferred to the next input sample by
+    the bounded unroll); the end-of-sample wrap is applied to the carry.
+    """
+    npfb = params["npfb"]
+    pidx = params["pidx"]
+    locked_f = params["locked"]
+    (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
+    slots = []
+    for _ in range(E):
+        active = b < npfb
+        bb = jnp.clip(b, 0, npfb - 1)
+        oh = bb[..., None] == pidx  # one-hot branch select
+        sel = jnp.sum(jnp.where(oh, x4, 0), axis=-1)  # [4, ...]
+        mr, mi, dr, di = sel[0], sel[1], sel[2], sel[3]
+
+        do_timing = (dec == params["k_out"]) & active & (~locked_f)
+        dec = jnp.where((dec == params["k_out"]) & active, 0, dec)
+
+        # Re(conj(mf)·dmf) = mr·dr + mi·di
+        q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
+        # DF2 biquad loop filter (iirfiltsos.rs:103)
+        v1, v2 = pv[..., 0], pv[..., 1]
+        v0 = q - params["pa1"] * v1 - params["pa2"] * v2
+        q_hat = params["pb0"] * v0 + params["pb1"] * v1 + params["pb2"] * v2
+        pv_new = jnp.stack([v0, v1], axis=-1)
+        rate_new = rate + params["radj"] * q_hat
+        delta_new = rate_new + q_hat
+
+        pv = jnp.where(do_timing[..., None], pv_new, pv)
+        rate = jnp.where(do_timing, rate_new, rate)
+        delta = jnp.where(do_timing, delta_new, delta)
+        tau_d = jnp.where(do_timing, tau, tau_d)
+
+        dec = jnp.where(active, dec + 1, dec)
+        tau = jnp.where(active, tau + delta, tau)
+        bf = jnp.where(active, tau * npfb, bf)
+        b = jnp.where(active, jnp.round(bf).astype(jnp.int32), b)
+        slots.append((
+            jnp.where(active, mr / kf, 0.0),
+            jnp.where(active, mi / kf, 0.0),
+            active.astype(jnp.float32),
+        ))
+
+    pending = b < npfb  # an emission is still due (pre-wrap)
+    # end-of-sample wrap (symsync.rs:261-263)
+    tau = tau - 1.0
+    bf = bf - npfb
+    b = b - npfb
+    return (b, bf, tau, tau_d, rate, delta, dec, pv), slots, pending
+
+
 @struct.pytree
 class Symsync:
     """Symbol synchronizer state (symsync.rs:8-30)."""
@@ -197,21 +284,48 @@ class Symsync:
         return self.tau_decim
 
     # ------------------------------------------------------------- streaming
-    def execute_slots(self, x) -> tuple[jnp.ndarray, jnp.ndarray, "Symsync"]:
+    def branch_outputs_4xP(self, x):
+        """All-branch MF/dMF outputs for a block, time-major [n, 4, ..., P].
+
+        The PFB window contents don't depend on the timing feedback — only
+        the branch *selection* does — so all-branch matched / derivative
+        filter outputs are ONE dense banded MXU matmul over the block
+        (multi_branch_conv_tm_pre against the prebuilt ``bank_g``). The banks
+        are REAL taps, so re/im planes filter independently; planes come out
+        ordered (re·mf, im·mf, re·dmf, im·dmf) so the scan body selects all
+        four with a single one-hot masked sum. Returns ``(xs4, xa)``.
+        """
+        x = jnp.asarray(x, dtype=self.window.dtype)
+        xa = jnp.concatenate([self.window, x], axis=-1)
+        from ._conv import multi_branch_conv_tm_pre
+
+        P = self.npfb
+        planes = jnp.stack([jnp.real(xa[..., 1:]), jnp.imag(xa[..., 1:])])
+        # [2, ..., n, 2P] → time-major [n, 2, ..., 2P] → [n, 4, ..., P]
+        ytm = multi_branch_conv_tm_pre(
+            planes, self.bank_g, 2 * P, self.mf.shape[1]
+        )
+        xs_all = jnp.moveaxis(ytm, -2, 0)
+        xs4 = jnp.concatenate([xs_all[..., :P], xs_all[..., P:]], axis=1)
+        return xs4, xa
+
+    def execute_slots(
+        self, x, samples_per_step: int | None = None, max_emit: int | None = None
+    ) -> tuple[jnp.ndarray, jnp.ndarray, "Symsync"]:
         """Synchronize a block; raw emission-slot output (symsync.rs:219-266).
 
         Returns ``(y_slots, valid, state)`` with ``y_slots``/``valid`` shaped
-        ``[..., N, _MAX_EMIT]``. Per input step the valid slots form a dense
-        prefix (emissions stop once the filterbank index leaves the bank), so
-        ``valid[..., t, e] ⇒ valid[..., t, e-1]``.
+        ``[..., N, max_emit]`` (default ``_MAX_EMIT``). Per input step the
+        valid slots form a dense prefix (emissions stop once the filterbank
+        index leaves the bank), so ``valid[..., t, e] ⇒ valid[..., t, e-1]``.
 
-        TPU formulation: the PFB window contents don't depend on the timing
-        feedback — only the branch *selection* does — so all-branch matched /
-        derivative filter outputs are precomputed as one dense banded MXU
-        matmul (multi_branch_conv), and the sequential lax.scan is a tiny
-        gather-free control loop (one-hot branch select + biquad loop filter).
-        This replaces the round-2 per-step dynamic gathers that were
-        scalar-unit-bound on TPU (~16 µs/sample-step).
+        TPU formulation: all-branch filter outputs precomputed as one banded
+        MXU matmul (:meth:`branch_outputs_4xP`); the sequential lax.scan is a
+        tiny gather-free control loop (one-hot branch select + biquad loop
+        filter). ``samples_per_step`` input samples are packed into each scan
+        step (default: largest of 4/2/1 dividing the block) — the while-loop
+        fixed cost per step (~1.5 µs on this toolchain) dominates the body
+        work, so packing amortizes it across S samples.
 
         Scan-boundary dtype rules for the production TPU toolchain (measured,
         kernels/ROOFLINE.md "feedback-scan boundary rules"): complex or bool
@@ -222,120 +336,46 @@ class Symsync:
         x = jnp.asarray(x, dtype=self.window.dtype)
         n = x.shape[-1]
         kf = jnp.float32(self.k)
-        E = _MAX_EMIT
+        E = _MAX_EMIT if max_emit is None else max_emit
+        S = samples_per_step
+        if S is None:
+            S = next(s for s in (4, 2, 1) if n % s == 0)
+        if n % S != 0:
+            raise ConfigError("samples_per_step must divide the block length")
 
-        # All-branch filterbank outputs for every input step (window after
-        # pushing x[t] is xa[..., t+1 : t+Lsub+1]). The banks are REAL taps,
-        # so re/im planes filter independently: ONE real banded matmul over
-        # stacked planes with mf and dmf branches CONCATENATED — planar f32
-        # from the start (a complex matmul is 4 real MXU passes) and
-        # time-major from the start (multi_branch_conv_tm; the [.., M, N]
-        # minor-axis transpose costs more than the matmul on TPU).
-        xa = jnp.concatenate([self.window, x], axis=-1)
-        from ._conv import multi_branch_conv_tm_pre
-
-        P = self.npfb
-        planes = jnp.stack([jnp.real(xa[..., 1:]), jnp.imag(xa[..., 1:])])
-        # [2, ..., n, 2P] → time-major [n, 2, ..., 2P]. The barrier forces
-        # the transpose to MATERIALIZE before the scan — otherwise XLA fuses
-        # it into the loop and every iteration strides across the whole
-        # time axis (measured ~70 ms/block vs ~15 ms materialized).
-        ytm = multi_branch_conv_tm_pre(
-            planes, self.bank_g, 2 * P, self.mf.shape[1]
+        xs4, xa = self.branch_outputs_4xP(x)
+        # [n, 4, ..., P] → [n/S, S, 4, ..., P]. The barrier forces the
+        # precompute to MATERIALIZE before the scan — otherwise XLA fuses it
+        # into the loop and every iteration strides across the whole time
+        # axis (measured ~70 ms/block vs ~15 ms materialized).
+        xs4 = jax.lax.optimization_barrier(
+            xs4.reshape((n // S, S) + xs4.shape[1:])
         )
-        xs_all = jax.lax.optimization_barrier(jnp.moveaxis(ytm, -2, 0))
-        pidx = jnp.arange(self.npfb, dtype=jnp.int32)
-        locked_f = self.locked  # captured constant (not a scan boundary leaf)
-
-        # loop-invariant PLL coefficients: materialize as batch-shaped
-        # vectors OUTSIDE the scan — an in-body coeffs[i] scalar slice gets
-        # sunk into every iteration on this toolchain (utils.loop_constants)
-        from ..utils.planar import loop_constants
-
-        pa1, pa2, pb0, pb1, pb2 = loop_constants(
-            self.pll_a[1], self.pll_a[2],
-            self.pll_b[0], self.pll_b[1], self.pll_b[2], like=self.tau,
-        )
-
-        def pll_exec(v, q):
-            # DF2 biquad (iirfiltsos.rs:103)
-            v1, v2 = v[..., 0], v[..., 1]
-            v0 = q - pa1 * v1 - pa2 * v2
-            out = pb0 * v0 + pb1 * v1 + pb2 * v2
-            return jnp.stack([v0, v1], axis=-1), out
+        params = _sym_loop_params(self)
 
         def step(carry, inp):
-            (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
-            # inp: [2, ..., 2P] f32 — slice the four planes in-body (keeps
-            # the scan xs ONE array; slicing a loaded block is free)
-            mr_t = inp[0, ..., :P]
-            mi_t = inp[1, ..., :P]
-            dr_t = inp[0, ..., P:]
-            di_t = inp[1, ..., P:]
+            packs = []
+            for s in range(S):
+                carry, slots, _ = _emit_sample(params, carry, inp[s], E, kf)
+                ys_r, ys_i, valids = zip(*slots)
+                # ONE f32 ys: [..., 3E] = [re slots | im slots | valid slots]
+                packs.append(jnp.stack(list(ys_r + ys_i + valids), axis=-1))
+            return carry, (jnp.stack(packs, axis=-2) if S > 1 else packs[0])
 
-            ys_r = []
-            ys_i = []
-            valids = []
-
-            def emit_once(state):
-                b, bf, tau, tau_d, rate, delta, dec, pv = state
-                active = b < self.npfb
-                bb = jnp.clip(b, 0, self.npfb - 1)
-                oh = bb[..., None] == pidx  # one-hot branch select
-                mr = jnp.sum(jnp.where(oh, mr_t, 0), axis=-1)
-                mi = jnp.sum(jnp.where(oh, mi_t, 0), axis=-1)
-
-                do_timing = (dec == self.k_out) & active & (~locked_f)
-                dec = jnp.where((dec == self.k_out) & active, 0, dec)
-
-                dr = jnp.sum(jnp.where(oh, dr_t, 0), axis=-1)
-                di = jnp.sum(jnp.where(oh, di_t, 0), axis=-1)
-                # Re(conj(mf)·dmf) = mr·dr + mi·di
-                q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
-                pv_new, q_hat = pll_exec(pv, q)
-                rate_new = rate + self.rate_adjustment * q_hat
-                delta_new = rate_new + q_hat
-
-                pv = jnp.where(do_timing[..., None], pv_new, pv)
-                rate = jnp.where(do_timing, rate_new, rate)
-                delta = jnp.where(do_timing, delta_new, delta)
-                tau_d = jnp.where(do_timing, tau, tau_d)
-
-                dec = jnp.where(active, dec + 1, dec)
-                tau = jnp.where(active, tau + delta, tau)
-                bf = jnp.where(active, tau * self.npfb, bf)
-                b = jnp.where(active, jnp.round(bf).astype(jnp.int32), b)
-                return (b, bf, tau, tau_d, rate, delta, dec, pv), (mr, mi), active
-
-            state = (b, bf, tau, tau_d, rate, delta, dec, pv)
-            for _ in range(E):
-                state, (mr, mi), active = emit_once(state)
-                ys_r.append(jnp.where(active, mr / kf, 0.0))
-                ys_i.append(jnp.where(active, mi / kf, 0.0))
-                valids.append(active.astype(jnp.float32))
-            (b, bf, tau, tau_d, rate, delta, dec, pv) = state
-
-            # end-of-sample wrap (symsync.rs:261-263)
-            tau = tau - 1.0
-            bf = bf - self.npfb
-            b = b - self.npfb
-
-            # ONE f32 ys array: [..., 3E] = [re slots | im slots | valid slots]
-            packed = jnp.stack(ys_r + ys_i + valids, axis=-1)
-            return (b, bf, tau, tau_d, rate, delta, dec, pv), packed
-
-        carry0 = (
-            self.b, self.bf, self.tau, self.tau_decim,
-            self.rate, self.delta, self.decim_counter, self.pll_v,
+        carry, packed = jax.lax.scan(
+            step, _sym_carry(self), xs4, unroll=max(1, 8 // S)
         )
-        carry, packed = jax.lax.scan(step, carry0, xs_all, unroll=8)
         (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
 
         new = self.replace(
             window=xa[..., n:], b=b, bf=bf, tau=tau, tau_decim=tau_d,
             rate=rate, delta=delta, decim_counter=dec, pll_v=pv,
         )
-        packed = jnp.moveaxis(packed, 0, -2)  # [..., N, 3E]
+        if S > 1:  # [n/S, ..., S, 3E] → [..., n, 3E]
+            packed = jnp.moveaxis(packed, 0, -3)
+            packed = packed.reshape(packed.shape[:-3] + (n, 3 * E))
+        else:
+            packed = jnp.moveaxis(packed, 0, -2)
         y_slots = jax.lax.complex(packed[..., :E], packed[..., E : 2 * E])
         if not jnp.issubdtype(jnp.dtype(self.window.dtype), jnp.complexfloating):
             y_slots = packed[..., :E]
@@ -348,15 +388,15 @@ class Symsync:
         Returns (y, num_output, state): y has capacity N·_MAX_EMIT with the
         valid outputs compacted to the front.
         """
+        from ..utils.compact import compact_valid
+
         x = jnp.asarray(x)
         n = x.shape[-1]
         yt, vt, new = self.execute_slots(x)
         # [..., N, MAX_EMIT] → flatten and compact valid entries to the front
         y = yt.reshape(x.shape[:-1] + (n * _MAX_EMIT,))
         v = vt.reshape(x.shape[:-1] + (n * _MAX_EMIT,))
-        num_output = jnp.sum(v.astype(jnp.int32), axis=-1)
-        order = jnp.argsort(~v, axis=-1, stable=True)  # valid first, stable
-        y = jnp.take_along_axis(y, order, axis=-1)
+        y, num_output = compact_valid(y, v)
         return y, num_output, new
 
     __call__ = execute

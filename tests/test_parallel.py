@@ -165,3 +165,108 @@ class TestChannelRedistribution:
         # emits all T-1 discriminator samples; steps ≥ p are transient-free
         assert m_sh.shape == (M, T - 1)
         np.testing.assert_allclose(m_sh[:, p:], m_ref[:, p:], rtol=0, atol=1e-5)
+
+
+class TestPipelinedStream:
+    """Double-buffered streaming channelizer: the all_to_all for block t
+    overlaps block t+1's analyzer compute (VERDICT r3 #1; SCALING.md §4)."""
+
+    def test_stream_bit_identical(self, devices_ok):
+        """Pipelined B-block stream == single-device analyzer over the
+        concatenated stream (zero-state transient excluded)."""
+        from jax.sharding import Mesh
+        from yagi_tpu.multichannel import Firpfbch
+        from yagi_tpu.parallel import sharded_channelize_stream_to_channels
+
+        rng = np.random.default_rng(11)
+        M, n_dev, B = 16, 8, 5
+        chz = Firpfbch.create_kaiser(M, 4, 60.0)
+        p = chz.p
+        T = n_dev * 24  # steps per block
+        x = (rng.normal(size=(B, T * M)) + 1j * rng.normal(size=(B, T * M))
+             ).astype(np.complex64)
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("time",))
+        y_sh = np.asarray(
+            jax.jit(
+                lambda v: sharded_channelize_stream_to_channels(chz, v, mesh)
+            )(jnp.asarray(x))
+        )
+        assert y_sh.shape == (B, M, T)
+        y_ref, _ = chz.analyzer_execute(jnp.asarray(x.reshape(-1)))
+        y_ref = np.asarray(y_ref).reshape(M, B, T).transpose(1, 0, 2)
+        # block 0 steps ≥ p: exact; ALL later blocks exact from step 0 —
+        # the streamed halo carries device n-1's tail across blocks
+        np.testing.assert_array_equal(y_sh[0][:, p:], y_ref[0][:, p:])
+        np.testing.assert_array_equal(y_sh[1:], y_ref[1:])
+
+    def test_stream_fm_bit_identical(self, devices_ok):
+        """Pipelined stream + per-channel FM demod: no seams anywhere."""
+        from jax.sharding import Mesh
+        from yagi_tpu.multichannel import Firpfbch
+        from yagi_tpu.parallel import (
+            sharded_channelize_stream_fm_to_channels,
+        )
+
+        rng = np.random.default_rng(12)
+        M, n_dev, B, kf = 16, 8, 4, 0.1
+        chz = Firpfbch.create_kaiser(M, 4, 60.0)
+        p = chz.p
+        T = n_dev * 24
+        x = (rng.normal(size=(B, T * M)) + 1j * rng.normal(size=(B, T * M))
+             ).astype(np.complex64)
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("time",))
+        m_sh = np.asarray(
+            jax.jit(
+                lambda v: sharded_channelize_stream_fm_to_channels(
+                    chz, kf, v, mesh
+                )
+            )(jnp.asarray(x))
+        )
+        assert m_sh.shape == (B, M, T)
+        y_ref, _ = chz.analyzer_execute(jnp.asarray(x.reshape(-1)))
+        y_ref = np.asarray(y_ref)
+        y_ext = np.concatenate(
+            [np.zeros((M, 1), np.complex64), y_ref], axis=-1
+        )
+        m_ref = np.angle(np.conj(y_ext[:, :-1]) * y_ext[:, 1:]) / (
+            2.0 * np.pi * kf
+        )
+        m_ref = m_ref.reshape(M, B, T).transpose(1, 0, 2)
+        np.testing.assert_allclose(
+            m_sh[0][:, p + 1:], m_ref[0][:, p + 1:], rtol=0, atol=1e-5
+        )
+        np.testing.assert_allclose(m_sh[1:], m_ref[1:], rtol=0, atol=1e-5)
+
+    def test_pipeline_issue_order(self, devices_ok):
+        """Structural overlap evidence on the traced program: inside the
+        scanned pipeline body, the all_to_all's operand is the loop CARRY
+        (previous block's analyzer output), never the current block's
+        compute — so the collective and the analyzer have no data
+        dependence and can execute concurrently."""
+        from jax.sharding import Mesh
+        from yagi_tpu.multichannel import Firpfbch
+        from yagi_tpu.parallel import sharded_channelize_stream_to_channels
+
+        M, n_dev, B = 16, 8, 3
+        chz = Firpfbch.create_kaiser(M, 4, 60.0)
+        T = n_dev * 24
+        mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("time",))
+        x = jnp.zeros((B, T * M), jnp.complex64)
+        import re
+
+        hlo = (
+            jax.jit(lambda v: sharded_channelize_stream_to_channels(chz, v, mesh))
+            .lower(x)
+            .as_text()
+        )
+        # Inside the scanned pipeline (the while body region), the
+        # all_to_all is the FIRST op and its operand is a BLOCK ARGUMENT
+        # (%argN — the loop carry holding the previous block's analyzer
+        # output). Nothing computed in the current iteration feeds it, so
+        # the collective's start→done window is free to overlap the whole
+        # analyzer compute of this iteration.
+        m = re.search(r'%0 = "stablehlo\.all_to_all"\(%arg\d+\)', hlo)
+        assert m, "while-body all_to_all must consume the loop carry"
+        # and there is exactly one more all_to_all — the post-loop drain of
+        # the final pending block
+        assert hlo.count("stablehlo.all_to_all") == 2

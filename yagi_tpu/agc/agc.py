@@ -246,9 +246,7 @@ class Agc:
         x = jnp.asarray(x)
         n = x.shape[-1]
         is_c = jnp.issubdtype(x.dtype, jnp.complexfloating)
-        S = samples_per_step
-        if S is None:
-            S = next(s for s in (4, 2, 1) if n % s == 0)
+        S = 1 if samples_per_step is None else samples_per_step
         xt_r = jnp.moveaxis(jnp.real(x), -1, 0)
         xt_i = jnp.moveaxis(jnp.imag(x), -1, 0) if is_c else jnp.zeros_like(xt_r)
         # [n, ...] → [n/S, S, ...]

@@ -175,9 +175,7 @@ class QamRx:
         x = jnp.asarray(x)
         n = x.shape[-1]
         E = 2
-        S = samples_per_step
-        if S is None:
-            S = next(s for s in (4, 2, 1) if n % s == 0)
+        S = 1 if samples_per_step is None else samples_per_step
         y0, agc = self.agc.execute_block(x)
         ss = self.symsync
         kf = jnp.float32(ss.k)

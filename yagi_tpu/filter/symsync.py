@@ -29,6 +29,21 @@ __all__ = ["Symsync"]
 _MAX_EMIT = 4  # emissions per input sample never exceed ceil(1/del)+1 ≤ 4 for k ≥ 2
 
 
+def _auto_emit(k: int, k_out: int) -> int:
+    """Designed per-sample emission capacity: ceil(1/δ_min)+1 slots for the
+    factor-2 rate-tracking range δ ≥ k/(2·k_out) (real SDR rate offsets are
+    ppm; ×2 is generous). An emission that would exceed the cap is DEFERRED
+    to the next input sample by the bounded unroll (`_emit_sample` keeps
+    ``b < npfb`` across the wrap, so the sample emits next step with the
+    clipped branch) — nothing is dropped; `pending` flags the event. Smaller
+    caps matter: per-emission op count is the measured scan bottleneck
+    (kernels/ROOFLINE.md round-4 notes).
+    """
+    import math
+
+    return max(1, min(_MAX_EMIT, math.ceil(2 * k_out / k) + 1))
+
+
 def _sym_loop_params(ss: "Symsync"):
     """Loop-invariant constants for :func:`_emit_sample`.
 
@@ -315,7 +330,8 @@ class Symsync:
         """Synchronize a block; raw emission-slot output (symsync.rs:219-266).
 
         Returns ``(y_slots, valid, state)`` with ``y_slots``/``valid`` shaped
-        ``[..., N, max_emit]`` (default ``_MAX_EMIT``). Per input step the
+        ``[..., N, max_emit]`` (default: the k-aware :func:`_auto_emit`
+        capacity — 2 slots for k=2/k_out=1). Per input step the
         valid slots form a dense prefix (emissions stop once the filterbank
         index leaves the bank), so ``valid[..., t, e] ⇒ valid[..., t, e-1]``.
 
@@ -336,10 +352,8 @@ class Symsync:
         x = jnp.asarray(x, dtype=self.window.dtype)
         n = x.shape[-1]
         kf = jnp.float32(self.k)
-        E = _MAX_EMIT if max_emit is None else max_emit
-        S = samples_per_step
-        if S is None:
-            S = next(s for s in (4, 2, 1) if n % s == 0)
+        E = _auto_emit(self.k, self.k_out) if max_emit is None else max_emit
+        S = 1 if samples_per_step is None else samples_per_step
         if n % S != 0:
             raise ConfigError("samples_per_step must divide the block length")
 
@@ -385,17 +399,19 @@ class Symsync:
     def execute(self, x) -> tuple[jnp.ndarray, jnp.ndarray, "Symsync"]:
         """Synchronize a block (symsync.rs:219-266).
 
-        Returns (y, num_output, state): y has capacity N·_MAX_EMIT with the
-        valid outputs compacted to the front.
+        Returns (y, num_output, state): y has capacity N·E (E the per-sample
+        emission capacity, :func:`_auto_emit`) with the valid outputs
+        compacted to the front.
         """
         from ..utils.compact import compact_valid
 
         x = jnp.asarray(x)
         n = x.shape[-1]
         yt, vt, new = self.execute_slots(x)
-        # [..., N, MAX_EMIT] → flatten and compact valid entries to the front
-        y = yt.reshape(x.shape[:-1] + (n * _MAX_EMIT,))
-        v = vt.reshape(x.shape[:-1] + (n * _MAX_EMIT,))
+        E = yt.shape[-1]
+        # [..., N, E] → flatten and compact valid entries to the front
+        y = yt.reshape(x.shape[:-1] + (n * E,))
+        v = vt.reshape(x.shape[:-1] + (n * E,))
         y, num_output = compact_valid(y, v)
         return y, num_output, new
 

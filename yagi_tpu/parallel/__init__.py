@@ -10,4 +10,6 @@ from .channelizer import (  # noqa: F401
     sharded_channelize_fm,
     sharded_channelize_to_channels,
     sharded_channelize_fm_to_channels,
+    sharded_channelize_stream_to_channels,
+    sharded_channelize_stream_fm_to_channels,
 )

@@ -7,18 +7,18 @@ No reference counterpart for the algorithm itself — the reference is
 sequential host code where compaction is free; on TPU it is a real data
 movement pass and its formulation matters:
 
-* ``scatter`` (default): destination index = cumsum(valid)−1, one
-  ``put_along_axis`` scatter into a capacity+1 buffer (invalid entries land
-  in the overflow bin). O(N) work.
-* ``sort``: single stable ``lax.sort`` with the invalidity flag as key and
-  the value planes as payload operands. O(N log² N) bitonic but one fused
-  pass (no separate argsort + gather).
-* ``argsort``: the round-3 form (argsort + take_along_axis), kept as the
-  reference implementation.
+* ``sort`` (default): single stable ``lax.sort`` with the invalidity flag
+  as key and the value planes as payload operands. O(N log² N) bitonic but
+  ONE fused pass — no separate argsort + index gather.
+* ``argsort``: the round-3 form (argsort + take_along_axis).
+* ``scatter``: destination index = cumsum(valid)−1, one ``put_along_axis``
+  scatter into a capacity+1 buffer. O(N) on paper — but XLA:TPU lowers a
+  batched 1-D scatter to a serialized per-element loop.
 
-Round-4 same-session A/B on real TPU (C=256, N=16384, tools/profile_feedback):
-argsort ≈ 9.8 ms, sort ≈ 6.6 ms, scatter ≈ 1.9 ms per block → scatter is
-the production default (bit-identical outputs across all three).
+Round-4 same-session A/B on real TPU (complex [256, 16384], 20-deep chains,
+/tmp/tpuq job 35): sort ≈ 3.8 ms, argsort ≈ 87 ms, scatter ≈ 328 ms per
+block → sort is the production default (bit-identical outputs across all
+three).
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ import jax.numpy as jnp
 __all__ = ["compact_valid"]
 
 
-def compact_valid(y, v, method: str = "scatter"):
+def compact_valid(y, v, method: str = "sort"):
     """Front-compact the entries of ``y`` where ``v`` is True (last axis).
 
     Returns ``(y_compacted, count)``: ``y_compacted[..., :count]`` holds the

@@ -1,0 +1,230 @@
+"""Gather-free arbitrary-rate fast path: prototype FIR + designed Farrow.
+
+The reference's arbitrary resampler (resamp.rs:141-154) evaluates the
+continuous prototype filter h at fractional positions via a 256-branch
+polyphase bank: y_m = (h ⊛ x)(τ_m), with τ_m the exact u32 emission times
+(τ advances by step = round(2^24/rate) per output, 2^24 per input) and the
+fractional part of τ quantized to the nearest of 256 branch offsets.
+
+TPU-first factorization (round 4): (h ⊛ x) is bandlimited by h's own
+cutoff, so its integer-grid samples z[i] = Σ_j x[i+j]·h(j·npfb-grid)
+(= polyphase branch 0 — one banded-MXU FIR) fully determine the continuous
+signal; a POLYNOMIAL fractional interpolator (Farrow structure: K+1 small
+FIRs c_k ⊛ z combined as Σ_k μ^k·v_k) evaluates it at the exact fractional
+offsets μ_m = (phase_m & 0xffffff)/2^24. The Farrow coefficients are
+least-squares designed host-side against e^{-j2πf(μ−d)} over h's passband,
+with error below the reference's own 1/256 branch-rounding floor (≈ −45 dB)
+— so the fast path is equivalent to the reference within its own
+quantization noise, while the emission SCHEDULE (counts, times, carried
+phase) stays bit-identical to the u32 gather path.
+
+No traced-index gathers anywhere: the integer parts n_m ride a STATIC grid
+ñ_m = (m·step_nom)>>24 plus a small bounded traced offset δ_m selected by
+one-hot (δ bounds proven host-side over the full phase range), and the
+block-entry offset n₀ = phase>>24 is one dynamic_slice of the input.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PREC = jax.lax.Precision.HIGHEST
+
+# Farrow design: T taps, polynomial order K, fit band [0, _BAND] cycles/sample
+_T = 12
+_K = 3
+_BAND = 0.47
+
+_design_cache: dict = {}
+
+
+def farrow_coeffs(T: int = _T, K: int = _K, band: float = _BAND) -> np.ndarray:
+    """[K+1, T] polynomial-FIR matrix C: interp(z, i+μ) ≈ Σ_k μ^k (c_k⊛z)[i].
+
+    Least-squares fit of Σ_k μ^k Σ_t c_k[t]·e^{-j2πf(t−d)} to e^{+j2πfμ}
+    over f ∈ [0, band], μ ∈ [0, 1), with group delay d = T/2 − 1 + μ
+    convention: v_k[i] uses samples z[i−d .. i−d+T−1], so μ ∈ [0,1)
+    interpolates between z[i] and z[i+1]. Solved on a dense (f, μ) grid in
+    f64; cached per (T, K, band).
+    """
+    key = (T, K, band)
+    if key in _design_cache:
+        return _design_cache[key]
+    d = T // 2 - 1  # z[i] sits at tap index d when μ=0
+    fs = np.linspace(0, band, 96)
+    mus = np.linspace(0, 1, 33, endpoint=False)
+    t = np.arange(T)
+    # basis matrix: rows (f, μ) × columns (k, t)
+    rows = []
+    rhs = []
+    for f in fs:
+        e_t = np.exp(-2j * np.pi * f * (t - d))  # response of tap t at freq f
+        for mu in mus:
+            basis = np.concatenate([(mu ** k) * e_t for k in range(K + 1)])
+            rows.append(basis)
+            rhs.append(np.exp(2j * np.pi * f * mu))
+    A = np.asarray(rows)
+    b = np.asarray(rhs)
+    # real coefficients: stack real/imag parts of the complex LS system
+    Ar = np.concatenate([A.real, A.imag])
+    br = np.concatenate([b.real, b.imag])
+    sol, *_ = np.linalg.lstsq(Ar, br, rcond=None)
+    C = sol.reshape(K + 1, T)
+    _design_cache[key] = C.astype(np.float64)
+    return _design_cache[key]
+
+
+def farrow_design_error_db(T: int = _T, K: int = _K, band: float = _BAND) -> float:
+    """Worst-case interpolation error of the designed Farrow over the band."""
+    C = farrow_coeffs(T, K, band)
+    d = T // 2 - 1
+    t = np.arange(T)
+    worst = 0.0
+    for f in np.linspace(0, band, 157):
+        e_t = np.exp(-2j * np.pi * f * (t - d))
+        for mu in np.linspace(0, 1, 41, endpoint=False):
+            got = sum((mu ** k) * np.dot(C[k], e_t) for k in range(K + 1))
+            err = abs(got - np.exp(2j * np.pi * f * mu))
+            worst = max(worst, err)
+    return 20.0 * np.log10(max(worst, 1e-300))
+
+
+def int_grid_taps(branches: np.ndarray) -> np.ndarray:
+    """Integer-grid prototype taps z-filter from the PFB branch matrix.
+
+    ``branches[b, j]`` are conv-order taps (branch b, frame position j reads
+    the j-th-oldest sample; the emission dot is Σ_j xa[n+j]·branches[b, L−1−j]
+    — resamp.py:296-302). Branch 0 IS the integer-offset sampling of the
+    continuous h, so z[i] = Σ_j xa[i+j]·branches[0, L−1−j].
+    """
+    return np.asarray(branches)[0]
+
+
+def grid_bounds(step_nom: int, cap: int) -> tuple[np.ndarray, int, int]:
+    """Static grid ñ_m = (m·step_nom)>>24 and exact δ bounds over all phases.
+
+    n_m − n₀ − ñ_m ∈ [d_lo, d_hi] for every entry phase, proven by integer
+    evaluation at the extreme fractional phases 0 and 2^24−1 (n_m−n₀ is
+    monotone in the fractional phase, so the extremes bound all cases).
+    """
+    m = np.arange(cap, dtype=object)
+    base = [int(mm) * step_nom for mm in m]
+    ntil = np.asarray([b >> 24 for b in base], dtype=np.int64)
+    lo = ntil  # phase_frac = 0
+    hi = np.asarray([(b + (1 << 24) - 1) >> 24 for b in base], dtype=np.int64)
+    d_lo = int((lo - ntil).min())
+    d_hi = int((hi - ntil).max())
+    return ntil, d_lo, d_hi
+
+
+def tail_capacity(step_nom: int) -> int:
+    """Emission slots that may need the exact gather form at the block tail.
+
+    The Farrow window needs up to ``lookahead = T − (T//2 − 1)`` future z
+    samples; emissions whose source index lies within that many samples of
+    the block end (plus the max entry offset n₀) fall back to the reference
+    dotprod. Bounded statically by the nominal emission density 2^24/step.
+    """
+    max_n0 = max(0, (step_nom - 1) >> 24) + 2
+    lookahead = _T - (_T // 2 - 1) + 2 + max_n0
+    return int(np.ceil(lookahead * (1 << 24) / max(1, step_nom))) + 2
+
+
+def farrow_resample_values(
+    xa: jnp.ndarray,
+    branches: jnp.ndarray,
+    phase: jnp.ndarray,
+    step_nom: int,
+    n: int,
+    out_capacity: int,
+    n_m: jnp.ndarray,
+    branch: jnp.ndarray,
+    lo_bits: jnp.ndarray,
+    valid: jnp.ndarray,
+):
+    """Values of the u32 emission schedule via the FIR+Farrow fast path.
+
+    ``xa``: [..., L−1+n] input incl. history (the gather path's layout);
+    ``n_m``: traced exact source indices (phase_m >> 24), ``branch``: the
+    u32 branch indices (tail fallback), ``lo_bits``: the low-24 fractional
+    phase bits per emission, ``valid``: emission mask. Returns y
+    [..., out_capacity] matching the gather path within the Farrow design
+    error (≈ −55 dB, below the reference's 1/256 branch floor ≈ −45 dB).
+    """
+    from ._conv import causal_conv_valid
+
+    L = branches.shape[1]
+    cap = out_capacity
+    C = farrow_coeffs()
+    T, K = C.shape[1], C.shape[0] - 1
+    d = T // 2 - 1
+    lookahead = T - d  # future z samples the farrow window can reach
+
+    # ---- static grid + proven δ window --------------------------------
+    ntil_np, d_lo, d_hi = grid_bounds(step_nom, cap)
+    D = d_hi - d_lo + 1
+    max_n0 = max(0, (step_nom - 1) >> 24) + 2  # entry offset bound (+margin)
+
+    # ---- z = integer-grid samples of (h ⊛ x) --------------------------
+    # z[i] = Σ_j xa[i+j]·br0[L−1−j]  (branch-0 FIR, banded MXU form)
+    br0 = branches[0]
+    z = causal_conv_valid(xa, br0[::-1])  # [..., n]: i ∈ [0, n)
+    # pad right for grid overrun + farrow reach + the dynamic n₀ shift
+    pad = max_n0 + max(0, d_hi) - min(0, d_lo) + T + 4
+    z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + ((0, pad),))
+
+    # ---- farrow branch streams v_k[i] = Σ_t C[k,t]·z[i−d+t] ----------
+    zl = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + ((d, T - 1 - d),))
+    vks = [
+        causal_conv_valid(zl, jnp.asarray(C[k][::-1], z.dtype))
+        for k in range(K + 1)
+    ]  # each [..., len(z)]
+
+    # ---- select v_k at positions n₀ + ñ_m + δ_m -----------------------
+    n0 = (phase >> jnp.uint32(24)).astype(jnp.int32)
+    # one dynamic shift of the whole stream by the traced entry offset
+    vks = [
+        jax.lax.dynamic_slice_in_dim(
+            v, jnp.clip(n0, 0, max_n0), v.shape[-1] - max_n0, axis=-1
+        )
+        for v in vks
+    ]
+    base = jnp.asarray(ntil_np + d_lo, jnp.int32)
+    nmax = vks[0].shape[-1] - D - 1
+    idx = jnp.clip(base[:, None], 0, nmax) + jnp.arange(D, dtype=jnp.int32)
+    # static-index row pick [..., cap, D]: constant indices, no traced gather
+    Fk = [jnp.take(v, idx, axis=-1) for v in vks]
+
+    delta = n_m - n0 - jnp.asarray(ntil_np, jnp.int32)  # traced [cap]
+    oh = (
+        delta[:, None] == jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    vsel = [jnp.sum(f * oh, axis=-1) for f in Fk]  # [..., cap]
+
+    # ---- polynomial in the exact fractional phase ---------------------
+    mu = (lo_bits & jnp.uint32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
+        2.0 ** -24
+    )
+    y = vsel[K]
+    for k in range(K - 1, -1, -1):
+        y = y * mu + vsel[k]
+
+    # ---- exact-dotprod tail (farrow window would need future inputs) ---
+    # Only the last tail_cap slots can have n_m ≥ n − lookahead − max_n0
+    # (n_m is nondecreasing; density bound in tail_capacity()).
+    tcap = min(cap, tail_capacity(step_nom))
+    sl = cap - tcap
+    starts_t = jnp.clip(n_m[sl:], 0, n - 1)
+    frame_idx = starts_t[:, None] + jnp.arange(L)
+    frames_t = xa[..., frame_idx]  # [..., tcap, L] — small traced gather
+    hb_t = jnp.take(branches, branch[sl:], axis=0)  # [tcap, L]
+    y_t = jnp.einsum(
+        "...cl,cl->...c", frames_t, hb_t[:, ::-1], precision=_PREC
+    )
+    tail_zone = n_m >= (n - lookahead - max_n0)
+    pad_t = jnp.zeros(y.shape[:-1] + (sl,), y_t.dtype)
+    y_tail_full = jnp.concatenate([pad_t, y_t], axis=-1)
+    y = jnp.where(tail_zone, y_tail_full, y)
+    return jnp.where(valid, y, 0)

@@ -90,6 +90,17 @@ class Resamp:
     # Cleared (None) by any operation that can leave a nonzero phase or a
     # runtime-traced rate; phase ≡ 0 is then re-established only by reset().
     exact_sched: tuple | None = struct.static_field(default=None)
+    # interpolation mode: "pfb" = reference-parity 256-branch evaluation
+    # (banded fast path when exact_sched holds, else the u32 frame gather);
+    # "farrow" = TPU production mode — prototype-FIR + designed polynomial
+    # interpolator at the exact u32 times (filter/_farrow_resamp.py;
+    # schedule/counts/state bit-identical, values within the reference's
+    # own 1/256 branch-quantization floor)
+    interp: str = struct.static_field(default="pfb")
+    # concrete value of the (traced) u32 step field when provable: set at
+    # create()/concrete set_rate(), cleared by traced rate updates. The
+    # farrow path's static grid is derived from this certificate.
+    step_cert: int | None = struct.static_field(default=None)
 
     # ------------------------------------------------------------------ ctors
     @classmethod
@@ -102,8 +113,15 @@ class Resamp:
         npfb: int = 256,
         batch_shape: tuple = (),
         dtype=jnp.complex64,
+        interp: str = "pfb",
     ) -> "Resamp":
-        """Design the PFB prototype and initialize state (resamp.rs:24-71)."""
+        """Design the PFB prototype and initialize state (resamp.rs:24-71).
+
+        ``interp="farrow"`` selects the TPU production fast path for
+        truly-arbitrary rates (see the ``interp`` field comment).
+        """
+        if interp not in ("pfb", "farrow"):
+            raise ConfigError("interp must be 'pfb' or 'farrow'")
         if rate <= 0.0:
             raise ConfigError("resampling rate must be greater than zero")
         if m == 0:

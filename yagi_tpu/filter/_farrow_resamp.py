@@ -34,8 +34,8 @@ _PREC = jax.lax.Precision.HIGHEST
 
 # Farrow design: T taps, polynomial order K, fit band [0, _BAND] cycles/sample
 _T = 12
-_K = 3
-_BAND = 0.47
+_K = 4
+_BAND = 0.33
 
 _design_cache: dict = {}
 
@@ -60,7 +60,7 @@ def farrow_coeffs(T: int = _T, K: int = _K, band: float = _BAND) -> np.ndarray:
     rows = []
     rhs = []
     for f in fs:
-        e_t = np.exp(-2j * np.pi * f * (t - d))  # response of tap t at freq f
+        e_t = np.exp(2j * np.pi * f * (t - d))  # response of tap t at freq f
         for mu in mus:
             basis = np.concatenate([(mu ** k) * e_t for k in range(K + 1)])
             rows.append(basis)
@@ -83,7 +83,7 @@ def farrow_design_error_db(T: int = _T, K: int = _K, band: float = _BAND) -> flo
     t = np.arange(T)
     worst = 0.0
     for f in np.linspace(0, band, 157):
-        e_t = np.exp(-2j * np.pi * f * (t - d))
+        e_t = np.exp(2j * np.pi * f * (t - d))
         for mu in np.linspace(0, 1, 41, endpoint=False):
             got = sum((mu ** k) * np.dot(C[k], e_t) for k in range(K + 1))
             err = abs(got - np.exp(2j * np.pi * f * mu))
@@ -102,19 +102,23 @@ def int_grid_taps(branches: np.ndarray) -> np.ndarray:
     return np.asarray(branches)[0]
 
 
-def grid_bounds(step_nom: int, cap: int) -> tuple[np.ndarray, int, int]:
-    """Static grid ñ_m = (m·step_nom)>>24 and exact δ bounds over all phases.
+def grid_bounds(step_nom: int, cap: int, shift: int = 24
+                ) -> tuple[np.ndarray, int, int]:
+    """Static grid ñ_m = (m·step_nom)>>shift and exact δ bounds over phases.
 
-    n_m − n₀ − ñ_m ∈ [d_lo, d_hi] for every entry phase, proven by integer
-    evaluation at the extreme fractional phases 0 and 2^24−1 (n_m−n₀ is
+    p_m − p₀ − ñ_m ∈ [d_lo, d_hi] for every entry phase, proven by integer
+    evaluation at the extreme fractional phases 0 and 2^shift−1 (p_m−p₀ is
     monotone in the fractional phase, so the extremes bound all cases).
+    ``shift=23`` gives the 2×-oversampled half-integer grid.
     """
-    m = np.arange(cap, dtype=object)
-    base = [int(mm) * step_nom for mm in m]
-    ntil = np.asarray([b >> 24 for b in base], dtype=np.int64)
-    lo = ntil  # phase_frac = 0
-    hi = np.asarray([(b + (1 << 24) - 1) >> 24 for b in base], dtype=np.int64)
-    d_lo = int((lo - ntil).min())
+    base = [m * step_nom for m in range(cap)]
+    ntil = np.asarray([b >> shift for b in base], dtype=np.int64)
+    # the entry FRACTIONAL phase spans [0, 2^24) regardless of the grid
+    # shift (the >>24 integer part is removed separately as n₀/2n₀)
+    hi = np.asarray(
+        [(b + (1 << 24) - 1) >> shift for b in base], dtype=np.int64
+    )
+    d_lo = 0
     d_hi = int((hi - ntil).max())
     return ntil, d_lo, d_hi
 
@@ -128,7 +132,8 @@ def tail_capacity(step_nom: int) -> int:
     dotprod. Bounded statically by the nominal emission density 2^24/step.
     """
     max_n0 = max(0, (step_nom - 1) >> 24) + 2
-    lookahead = _T - (_T // 2 - 1) + 2 + max_n0
+    # farrow reach on the 2× grid = (T − d)/2 input samples
+    lookahead = (_T - (_T // 2 - 1)) // 2 + 3 + max_n0
     return int(np.ceil(lookahead * (1 << 24) / max(1, step_nom))) + 2
 
 
@@ -143,6 +148,7 @@ def farrow_resample_values(
     branch: jnp.ndarray,
     lo_bits: jnp.ndarray,
     valid: jnp.ndarray,
+    band: float = _BAND,
 ):
     """Values of the u32 emission schedule via the FIR+Farrow fast path.
 
@@ -156,56 +162,70 @@ def farrow_resample_values(
     from ._conv import causal_conv_valid
 
     L = branches.shape[1]
+    npfb = branches.shape[0]
     cap = out_capacity
-    C = farrow_coeffs()
+    # farrow operates on the 2×-OVERSAMPLED z grid (branch 0 + branch
+    # npfb/2 interleaved), so its design band is half the signal band —
+    # ≤ −55 dB for every legal prototype cutoff fc < 0.5
+    C = farrow_coeffs(band=min(0.249, band / 2.0))
     T, K = C.shape[1], C.shape[0] - 1
     d = T // 2 - 1
-    lookahead = T - d  # future z samples the farrow window can reach
+    lookahead = (T - d) // 2 + 2  # future INPUT samples the window reaches
 
-    # ---- static grid + proven δ window --------------------------------
-    ntil_np, d_lo, d_hi = grid_bounds(step_nom, cap)
+    # ---- static half-integer grid + proven δ window -------------------
+    ntil_np, d_lo, d_hi = grid_bounds(step_nom, cap, shift=23)
     D = d_hi - d_lo + 1
     max_n0 = max(0, (step_nom - 1) >> 24) + 2  # entry offset bound (+margin)
 
-    # ---- z = integer-grid samples of (h ⊛ x) --------------------------
-    # z[i] = Σ_j xa[i+j]·br0[L−1−j]  (branch-0 FIR, banded MXU form)
-    br0 = branches[0]
-    z = causal_conv_valid(xa, br0[::-1])  # [..., n]: i ∈ [0, n)
-    # pad right for grid overrun + farrow reach + the dynamic n₀ shift
-    pad = max_n0 + max(0, d_hi) - min(0, d_lo) + T + 4
-    z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + ((0, pad),))
+    # ---- z2 = half-integer-grid samples of (h ⊛ x) --------------------
+    # causal_conv_valid(xa, h)[i] = Σ_k h[k]·xa[i+L−1−k] = Σ_j h[L−1−j]·xa[i+j]
+    # — the gather path's Σ_j xa[i+j]·br[L−1−j] with h = br: branch 0 gives
+    # (h⊛x)(i), branch npfb/2 gives (h⊛x)(i+½); interleave → z2[2i(+1)]
+    z_e = causal_conv_valid(xa, branches[0])  # [..., n]
+    z_o = causal_conv_valid(xa, branches[npfb // 2])
+    z2 = jnp.stack([z_e, z_o], axis=-1).reshape(
+        z_e.shape[:-1] + (2 * z_e.shape[-1],)
+    )
+    # pad right for grid overrun + farrow reach + the dynamic 2n₀ shift
+    pad = 2 * max_n0 + max(0, d_hi) - min(0, d_lo) + T + 8
+    z2 = jnp.pad(z2, [(0, 0)] * (z2.ndim - 1) + [(0, pad)])
 
-    # ---- farrow branch streams v_k[i] = Σ_t C[k,t]·z[i−d+t] ----------
-    zl = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + ((d, T - 1 - d),))
+    # ---- farrow branch streams v_k[p] = Σ_t C[k,t]·z2[p−d+t] ----------
+    zl = jnp.pad(z2, [(0, 0)] * (z2.ndim - 1) + [(d, T - 1 - d)])
     vks = [
-        causal_conv_valid(zl, jnp.asarray(C[k][::-1], z.dtype))
+        causal_conv_valid(zl, jnp.asarray(C[k][::-1], z2.dtype))
         for k in range(K + 1)
-    ]  # each [..., len(z)]
+    ]  # each [..., len(z2)]
 
-    # ---- select v_k at positions n₀ + ñ_m + δ_m -----------------------
+    # ---- select v_k at half-grid positions 2n₀ + ñ_m + δ_m ------------
     n0 = (phase >> jnp.uint32(24)).astype(jnp.int32)
     # one dynamic shift of the whole stream by the traced entry offset
     vks = [
         jax.lax.dynamic_slice_in_dim(
-            v, jnp.clip(n0, 0, max_n0), v.shape[-1] - max_n0, axis=-1
+            v, 2 * jnp.clip(n0, 0, max_n0), v.shape[-1] - 2 * max_n0,
+            axis=-1,
         )
         for v in vks
     ]
-    base = jnp.asarray(ntil_np + d_lo, jnp.int32)
-    nmax = vks[0].shape[-1] - D - 1
-    idx = jnp.clip(base[:, None], 0, nmax) + jnp.arange(D, dtype=jnp.int32)
+    base_np = np.clip(
+        ntil_np + d_lo, 0, vks[0].shape[-1] - D - 1
+    ).astype(np.int32)
+    idx = jnp.asarray(base_np)[:, None] + jnp.arange(D, dtype=jnp.int32)
     # static-index row pick [..., cap, D]: constant indices, no traced gather
     Fk = [jnp.take(v, idx, axis=-1) for v in vks]
 
-    delta = n_m - n0 - jnp.asarray(ntil_np, jnp.int32)  # traced [cap]
+    # p_m = phase_m >> 23 = 2·n_m + half-bit; relative to the shifted stream
+    p_m = ((n_m.astype(jnp.uint32) << 1)
+           | ((lo_bits >> jnp.uint32(23)) & 1)).astype(jnp.int32)
+    delta = p_m - 2 * n0 - jnp.asarray(ntil_np, jnp.int32)  # traced [cap]
     oh = (
         delta[:, None] == jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32)
     ).astype(jnp.float32)
     vsel = [jnp.sum(f * oh, axis=-1) for f in Fk]  # [..., cap]
 
-    # ---- polynomial in the exact fractional phase ---------------------
-    mu = (lo_bits & jnp.uint32(0xFFFFFF)).astype(jnp.float32) * jnp.float32(
-        2.0 ** -24
+    # ---- polynomial in the exact fractional HALF-phase ----------------
+    mu = (lo_bits & jnp.uint32(0x7FFFFF)).astype(jnp.float32) * jnp.float32(
+        2.0 ** -23
     )
     y = vsel[K]
     for k in range(K - 1, -1, -1):

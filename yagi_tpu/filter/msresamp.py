@@ -42,8 +42,14 @@ class MsResamp:
     carry_len: jnp.ndarray = struct.field()  # int32
 
     @classmethod
-    def create(cls, rate: float, as_: float = 60.0, batch_shape: tuple = (), dtype=jnp.complex64) -> "MsResamp":
-        """Rate decomposition per msresamp.rs:28-80."""
+    def create(cls, rate: float, as_: float = 60.0, batch_shape: tuple = (),
+               dtype=jnp.complex64, arbitrary_interp: str = "pfb") -> "MsResamp":
+        """Rate decomposition per msresamp.rs:28-80.
+
+        ``arbitrary_interp="farrow"`` puts the arbitrary stage on the TPU production
+        fast path (filter/_farrow_resamp.py): exact u32 schedule, values
+        within the reference's 1/256 branch-quantization floor.
+        """
         if rate <= 0.0:
             raise ConfigError("resampling rate must be greater than zero")
         interp = rate > 1.0
@@ -68,6 +74,7 @@ class MsResamp:
             npfb=256,
             batch_shape=batch_shape,
             dtype=dtype,
+            interp=arbitrary_interp,
         )
         return cls(
             rate=float(rate),

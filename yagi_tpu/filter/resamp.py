@@ -90,6 +90,8 @@ class Resamp:
     # Cleared (None) by any operation that can leave a nonzero phase or a
     # runtime-traced rate; phase ≡ 0 is then re-established only by reset().
     exact_sched: tuple | None = struct.static_field(default=None)
+    # prototype cutoff (create-time fc; sizes the farrow design band)
+    fc: float = struct.static_field(default=0.25)
     # interpolation mode: "pfb" = reference-parity 256-branch evaluation
     # (banded fast path when exact_sched holds, else the u32 frame gather);
     # "farrow" = TPU production mode — prototype-FIR + designed polynomial
@@ -152,6 +154,9 @@ class Resamp:
             phase=jnp.asarray(0, dtype=jnp.uint32),
             window=jnp.zeros(batch_shape + (branches.shape[1],), dtype=jnp.dtype(dtype)),
             exact_sched=_pq_of_step(int(np.round((1 << 24) / rate))),
+            fc=float(fc),
+            interp=interp,
+            step_cert=int(np.round((1 << 24) / rate)),
         )
         return obj._check_rate(rate)
 
@@ -204,13 +209,15 @@ class Resamp:
         Accepts traced values (for timing loops); range-checks only concrete
         Python floats.
         """
+        cert = None
         if isinstance(rate, (int, float)):
             self._check_rate(float(rate))
+            cert = int(np.round((1 << 24) / float(rate)))
         r = jnp.asarray(rate, dtype=jnp.float32)
         step = jnp.round((1 << 24) / r).astype(jnp.uint32)
         # a rate change at a (possibly) nonzero carried phase invalidates the
         # phase≡0 invariant of the static-schedule fast path
-        return self.replace(rate=r, step=step, exact_sched=None)
+        return self.replace(rate=r, step=step, exact_sched=None, step_cert=cert)
 
     def adjust_rate(self, gamma) -> "Resamp":
         """Multiplicative rate adjustment (resamp.rs:112)."""
@@ -316,19 +323,32 @@ class Resamp:
         valid = n_m < n
         num_output = jnp.sum(valid.astype(jnp.int32), axis=-1)
 
-        # --- gather frames + branch rows, contract ------------------------
-        starts = jnp.clip(n_m, 0, n - 1)  # frame m = xa[s : s+L]
-        frame_idx = starts[:, None] + jnp.arange(L)[None, :]
-        frames = xa[..., frame_idx]  # [..., cap, L] oldest..newest
-        hb = jnp.take(self.branches, branch, axis=0)  # [cap, L]
-        # y_m = Σ_j hb[m, j] · frames[m, L-1-j]
-        y = jnp.einsum(
-            "...cl,cl->...c",
-            frames,
-            hb[:, ::-1],
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        y = jnp.where(valid, y, 0)
+        if self.interp == "farrow" and self.step_cert is not None:
+            # --- TPU fast path: prototype FIR + designed Farrow ----------
+            # exact u32 schedule above is untouched (counts/state/phase
+            # bit-identical); values within the reference's own 1/256
+            # branch-quantization floor (filter/_farrow_resamp.py)
+            from ._farrow_resamp import farrow_resample_values
+
+            y = farrow_resample_values(
+                xa, self.branches, self.phase, self.step_cert, n,
+                out_capacity, n_m, branch, lo, valid,
+                band=round(min(0.42, 1.4 * self.fc), 3),
+            )
+        else:
+            # --- gather frames + branch rows, contract (reference path) --
+            starts = jnp.clip(n_m, 0, n - 1)  # frame m = xa[s : s+L]
+            frame_idx = starts[:, None] + jnp.arange(L)[None, :]
+            frames = xa[..., frame_idx]  # [..., cap, L] oldest..newest
+            hb = jnp.take(self.branches, branch, axis=0)  # [cap, L]
+            # y_m = Σ_j hb[m, j] · frames[m, L-1-j]
+            y = jnp.einsum(
+                "...cl,cl->...c",
+                frames,
+                hb[:, ::-1],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            y = jnp.where(valid, y, 0)
 
         # --- carry state ---------------------------------------------------
         # phase' = (phase + num_output·step) - n·2^24 (mod 2^32, exact,

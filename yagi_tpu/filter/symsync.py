@@ -53,17 +53,19 @@ def _sym_loop_params(ss: "Symsync"):
     """
     from ..utils.planar import loop_constants
 
-    pa1, pa2, pb0, pb1, pb2 = loop_constants(
-        ss.pll_a[1], ss.pll_a[2],
-        ss.pll_b[0], ss.pll_b[1], ss.pll_b[2], like=ss.tau,
-    )
+    # the loop filter is FIRST-ORDER by construction (set_lf_bw —
+    # symsync.rs:196-213: b = [β/a0, 0, 0], a = [1, −b·α/a0, 0]), so only
+    # a[1] and b[0] enter the recurrence; the dead biquad terms are elided
+    # from the scan body (per-op cost dominates the feedback loops,
+    # kernels/ROOFLINE.md round-4 notes)
+    pa1, pb0 = loop_constants(ss.pll_a[1], ss.pll_b[0], like=ss.tau)
     return dict(
         npfb=ss.npfb,
         k_out=ss.k_out,
         pidx=jnp.arange(ss.npfb, dtype=jnp.int32),
         locked=ss.locked,
         radj=ss.rate_adjustment,
-        pa1=pa1, pa2=pa2, pb0=pb0, pb1=pb1, pb2=pb2,
+        pa1=pa1, pb0=pb0,
     )
 
 
@@ -72,7 +74,7 @@ def _sym_carry(ss: "Symsync"):
             ss.decim_counter, ss.pll_v)
 
 
-def _emit_sample(params, carry, x4, E: int, kf):
+def _emit_sample(params, carry, x4, E: int, kf, vs=None):
     """Process ONE input sample of the symsync control loop (symsync.rs:230-266).
 
     ``x4``: [4, ..., P] all-branch filter outputs for this sample, planes
@@ -90,20 +92,31 @@ def _emit_sample(params, carry, x4, E: int, kf):
     slots = []
     for _ in range(E):
         active = b < npfb
+        if vs is not None:
+            # valid-prefix streaming: an invalid sample neither emits nor
+            # advances the loop — the state is exactly as if it was never
+            # pushed (window carry handled by the caller's dynamic slice)
+            active = active & vs
         bb = jnp.clip(b, 0, npfb - 1)
         oh = bb[..., None] == pidx  # one-hot branch select
         sel = jnp.sum(jnp.where(oh, x4, 0), axis=-1)  # [4, ...]
         mr, mi, dr, di = sel[0], sel[1], sel[2], sel[3]
 
-        do_timing = (dec == params["k_out"]) & active & (~locked_f)
-        dec = jnp.where((dec == params["k_out"]) & active, 0, dec)
+        if params["k_out"] == 1:
+            # statically elided counter: any active emission leaves dec = 1
+            # (reset-to-0 then +1), and timing fires whenever dec was 1 —
+            # i.e. on every active emission after the very first
+            do_timing = (dec == 1) & active & (~locked_f)
+        else:
+            do_timing = (dec == params["k_out"]) & active & (~locked_f)
+            dec = jnp.where((dec == params["k_out"]) & active, 0, dec)
 
         # Re(conj(mf)·dmf) = mr·dr + mi·di
         q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
-        # DF2 biquad loop filter (iirfiltsos.rs:103)
-        v1, v2 = pv[..., 0], pv[..., 1]
-        v0 = q - params["pa1"] * v1 - params["pa2"] * v2
-        q_hat = params["pb0"] * v0 + params["pb1"] * v1 + params["pb2"] * v2
+        # DF2 loop filter, first-order by construction (see _sym_loop_params)
+        v1 = pv[..., 0]
+        v0 = q - params["pa1"] * v1
+        q_hat = params["pb0"] * v0
         pv_new = jnp.stack([v0, v1], axis=-1)
         rate_new = rate + params["radj"] * q_hat
         delta_new = rate_new + q_hat
@@ -113,7 +126,10 @@ def _emit_sample(params, carry, x4, E: int, kf):
         delta = jnp.where(do_timing, delta_new, delta)
         tau_d = jnp.where(do_timing, tau, tau_d)
 
-        dec = jnp.where(active, dec + 1, dec)
+        if params["k_out"] == 1:
+            dec = jnp.where(active, 1, dec)
+        else:
+            dec = jnp.where(active, dec + 1, dec)
         tau = jnp.where(active, tau + delta, tau)
         bf = jnp.where(active, tau * npfb, bf)
         b = jnp.where(active, jnp.round(bf).astype(jnp.int32), b)
@@ -125,9 +141,15 @@ def _emit_sample(params, carry, x4, E: int, kf):
 
     pending = b < npfb  # an emission is still due (pre-wrap)
     # end-of-sample wrap (symsync.rs:261-263)
-    tau = tau - 1.0
-    bf = bf - npfb
-    b = b - npfb
+    if vs is None:
+        tau = tau - 1.0
+        bf = bf - npfb
+        b = b - npfb
+    else:
+        pending = pending & vs
+        tau = jnp.where(vs, tau - 1.0, tau)
+        bf = jnp.where(vs, bf - npfb, bf)
+        b = jnp.where(vs, b - npfb, b)
     return (b, bf, tau, tau_d, rate, delta, dec, pv), slots, pending
 
 
@@ -325,7 +347,8 @@ class Symsync:
         return xs4, xa
 
     def execute_slots(
-        self, x, samples_per_step: int | None = None, max_emit: int | None = None
+        self, x, samples_per_step: int | None = None,
+        max_emit: int | None = None, n_valid=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, "Symsync"]:
         """Synchronize a block; raw emission-slot output (symsync.rs:219-266).
 
@@ -356,6 +379,14 @@ class Symsync:
         S = 1 if samples_per_step is None else samples_per_step
         if n % S != 0:
             raise ConfigError("samples_per_step must divide the block length")
+        if n_valid is not None:
+            # valid-prefix streaming (variable-rate upstream, e.g. an
+            # arbitrary-rate msresamp): only the first n_valid samples of
+            # the fixed-capacity buffer are consumed. n_valid is a SCALAR
+            # shared across the batch (per-channel counts would need a
+            # per-channel window gather).
+            n_valid = jnp.asarray(n_valid, jnp.int32)
+            x = jnp.where(jnp.arange(n) < n_valid, x, 0)
 
         xs4, xa = self.branch_outputs_4xP(x)
         # [n, 4, ..., P] → [n/S, S, 4, ..., P]. The barrier forces the
@@ -366,23 +397,40 @@ class Symsync:
             xs4.reshape((n // S, S) + xs4.shape[1:])
         )
         params = _sym_loop_params(self)
+        if n_valid is None:
+            xs = xs4
+        else:
+            vf = (jnp.arange(n) < n_valid).astype(jnp.float32)
+            xs = (xs4, jax.lax.optimization_barrier(
+                vf.reshape((n // S, S))))
 
         def step(carry, inp):
+            x4s, vfs = (inp, None) if n_valid is None else inp
             packs = []
             for s in range(S):
-                carry, slots, _ = _emit_sample(params, carry, inp[s], E, kf)
+                vs = None if vfs is None else vfs[s] > 0.5
+                carry, slots, _ = _emit_sample(
+                    params, carry, x4s[s], E, kf, vs=vs
+                )
                 ys_r, ys_i, valids = zip(*slots)
                 # ONE f32 ys: [..., 3E] = [re slots | im slots | valid slots]
                 packs.append(jnp.stack(list(ys_r + ys_i + valids), axis=-1))
             return carry, (jnp.stack(packs, axis=-2) if S > 1 else packs[0])
 
         carry, packed = jax.lax.scan(
-            step, _sym_carry(self), xs4, unroll=max(1, 8 // S)
+            step, _sym_carry(self), xs, unroll=max(1, 8 // S)
         )
         (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
 
+        if n_valid is None:
+            new_window = xa[..., n:]
+        else:
+            # window = the Lsub samples ending at the last VALID sample
+            new_window = jax.lax.dynamic_slice_in_dim(
+                xa, jnp.clip(n_valid, 0, n), self.window.shape[-1], axis=-1
+            )
         new = self.replace(
-            window=xa[..., n:], b=b, bf=bf, tau=tau, tau_decim=tau_d,
+            window=new_window, b=b, bf=bf, tau=tau, tau_decim=tau_d,
             rate=rate, delta=delta, decim_counter=dec, pll_v=pv,
         )
         if S > 1:  # [n/S, ..., S, 3E] → [..., n, 3E]

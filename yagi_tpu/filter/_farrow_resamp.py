@@ -102,25 +102,52 @@ def int_grid_taps(branches: np.ndarray) -> np.ndarray:
     return np.asarray(branches)[0]
 
 
-def grid_bounds(step_nom: int, cap: int, shift: int = 24
-                ) -> tuple[np.ndarray, int, int]:
-    """Static grid ñ_m = (m·step_nom)>>shift and exact δ bounds over phases.
+def periodic_grid(step_nom: int, cap: int):
+    """PERIODIC static half-grid ñ_m ≈ (m·step_nom)>>23 + exact δ bounds.
 
-    p_m − p₀ − ñ_m ∈ [d_lo, d_hi] for every entry phase, proven by integer
-    evaluation at the extreme fractional phases 0 and 2^shift−1 (p_m−p₀ is
-    monotone in the fractional phase, so the extremes bound all cases).
-    ``shift=23`` gives the 2×-oversampled half-integer grid.
+    ñ_m = (m//p̃)·q̃ + pat[m%p̃] with pat[j] = (j·q̃)//p̃ — periodic so the
+    v-stream selection compiles to reshapes + ONE static 0/1 matmul
+    instead of a TPU gather (measured: a constant-index jnp.take of the
+    same rows ran at gather speed, slower than the u32 path it replaced).
+    δ_m = p_m − 2n₀ − ñ_m is bounded over every entry phase by integer
+    evaluation at the extreme fractional phases 0 and 2^24−1 (p_m is
+    monotone in the phase). q̃ chosen from a small sweep minimizing the
+    select-matmul width p̃·D. Returns (q̃, p̃, pat, ñ, d_lo, d_hi).
     """
-    base = [m * step_nom for m in range(cap)]
-    ntil = np.asarray([b >> shift for b in base], dtype=np.int64)
-    # the entry FRACTIONAL phase spans [0, 2^24) regardless of the grid
-    # shift (the >>24 integer part is removed separately as n₀/2n₀)
-    hi = np.asarray(
-        [(b + (1 << 24) - 1) >> shift for b in base], dtype=np.int64
-    )
-    d_lo = 0
-    d_hi = int((hi - ntil).max())
-    return ntil, d_lo, d_hi
+    import math
+
+    m = np.arange(cap, dtype=np.int64)
+    base = m * np.int64(step_nom)
+    lo_v = base >> 23
+    hi_v = (base + (1 << 24) - 1) >> 23
+    # candidate periods: continued-fraction convergents of the exact ratio
+    # step/2^23 (z2 positions per output) — convergents keep the grid
+    # drift, hence D, small even for "irrational-looking" steps
+    num, den = step_nom, 1 << 23
+    g = math.gcd(num, den)
+    num, den = num // g, den // g
+    cands, a, b = [], num, den
+    pk_1, pk = 1, 0  # denominators (outputs per period)
+    qk_1, qk = 0, 1  # numerators (z2 positions per period)
+    while b and pk <= 2048:
+        ai = a // b
+        a, b = b, a - ai * b
+        pk_1, pk = pk, ai * pk + pk_1
+        qk_1, qk = qk, ai * qk + qk_1
+        if 1 <= pk <= 2048:
+            cands.append((pk, qk))
+    if not cands:
+        cands = [(1, max(1, int(round(step_nom / (1 << 23)))))]
+    best = None
+    for p2, q2 in cands:
+        pat = (np.arange(p2, dtype=np.int64) * q2) // p2
+        ntil = (m // p2) * q2 + pat[m % p2]
+        d_lo = int((lo_v - ntil).min())
+        d_hi = int((hi_v - ntil).max())
+        cost = p2 * (d_hi - d_lo + 1)
+        if best is None or cost < best[0]:
+            best = (cost, q2, p2, pat, ntil, d_lo, d_hi)
+    return best[1:]
 
 
 def tail_capacity(step_nom: int) -> int:
@@ -172,8 +199,8 @@ def farrow_resample_values(
     d = T // 2 - 1
     lookahead = (T - d) // 2 + 2  # future INPUT samples the window reaches
 
-    # ---- static half-integer grid + proven δ window -------------------
-    ntil_np, d_lo, d_hi = grid_bounds(step_nom, cap, shift=23)
+    # ---- periodic static half-grid + proven δ window ------------------
+    q2, p2, _pat, ntil_np, d_lo, d_hi = periodic_grid(step_nom, cap)
     D = d_hi - d_lo + 1
     max_n0 = max(0, (step_nom - 1) >> 24) + 2  # entry offset bound (+margin)
 
@@ -200,19 +227,40 @@ def farrow_resample_values(
     # ---- select v_k at half-grid positions 2n₀ + ñ_m + δ_m ------------
     n0 = (phase >> jnp.uint32(24)).astype(jnp.int32)
     # one dynamic shift of the whole stream by the traced entry offset
-    vks = [
-        jax.lax.dynamic_slice_in_dim(
-            v, 2 * jnp.clip(n0, 0, max_n0), v.shape[-1] - 2 * max_n0,
-            axis=-1,
-        )
-        for v in vks
-    ]
-    base_np = np.clip(
-        ntil_np + d_lo, 0, vks[0].shape[-1] - D - 1
-    ).astype(np.int32)
-    idx = jnp.asarray(base_np)[:, None] + jnp.arange(D, dtype=jnp.int32)
-    # static-index row pick [..., cap, D]: constant indices, no traced gather
-    Fk = [jnp.take(v, idx, axis=-1) for v in vks]
+    vall = jnp.stack(vks)  # [K+1, ..., len]
+    vall = jax.lax.dynamic_slice_in_dim(
+        vall, 2 * jnp.clip(n0, 0, max_n0), vall.shape[-1] - 2 * max_n0,
+        axis=-1,
+    )
+    # periodic-grid selection as reshapes + ONE static 0/1 matmul (the
+    # gather-free formulation — see periodic_grid). Row r of the reshaped
+    # stream covers positions [r·q̃, r·q̃ + band); output (j, di) of the
+    # period reads local position pat[j] + d_lo + di + off.
+    off = max(0, -d_lo)
+    rows = -(-cap // p2)
+    band = q2 + (d_hi - d_lo) + off + 1
+    nov = -(-band // q2)  # extra overlap rows (band can exceed 2·q̃)
+    need = (rows + nov) * q2
+    vv = jnp.pad(
+        vall,
+        [(0, 0)] * (vall.ndim - 1)
+        + [(off, max(0, need - off - vall.shape[-1]))],
+    )
+    x3 = vv[..., :need].reshape(vv.shape[:-1] + (rows + nov, q2))
+    frames = jnp.concatenate(
+        [x3[..., s : rows + s, :] for s in range(nov)], axis=-1
+    )[..., :band]  # [K+1, ..., rows, band]
+    sel_np = np.zeros((band, p2 * D), np.float32)
+    uj = (_pat[:, None] + d_lo + off + np.arange(D)[None, :]).reshape(-1)
+    sel_np[uj, np.arange(p2 * D)] = 1.0
+    selM = jnp.asarray(sel_np, frames.dtype if not jnp.issubdtype(
+        frames.dtype, jnp.complexfloating) else jnp.float32)
+    out = jax.lax.dot_general(
+        frames, selM.astype(frames.dtype),
+        (((frames.ndim - 1,), (0,)), ((), ())),
+    )  # [K+1, ..., rows, p̃·D]
+    out = out.reshape(out.shape[:-2] + (rows * p2, D))[..., :cap, :]
+    Fk = [out[k] for k in range(K + 1)]
 
     # p_m = phase_m >> 23 = 2·n_m + half-bit; relative to the shifted stream
     p_m = ((n_m.astype(jnp.uint32) << 1)

@@ -118,16 +118,55 @@ def chain_rate(jax, jnp, make_state, step_fn, samples_per_step, n_steps,
     return float(np.median(rates)), rates
 
 
+# clean-session reference for the calibration workload (best observed
+# uncontended median, BENCH_r03/r04 sessions). The validity rule below
+# compares each session's calib against this.
+CALIB_REF_MSPS = 8800.0
+
+
+def calib_valid(meta: dict, max_spread: float = 0.3,
+                max_dev: float = 0.4) -> tuple[bool, str]:
+    """Artifact validity rule (VERDICT r3 weak #3/#4): a session whose
+    calibration spread exceeds ``max_spread`` or whose calib throughput
+    deviates more than ``max_dev`` from the clean-session reference is too
+    contended for its ABSOLUTE numbers to be meaningful (same-session A/Bs
+    remain valid)."""
+    sp = meta.get("calib_spread")
+    cm = meta.get("calib_chain_msps")
+    if sp is None or cm is None:
+        return False, "no calibration"
+    if sp > max_spread:
+        return False, f"calib_spread {sp:.2f} > {max_spread}"
+    if abs(cm / CALIB_REF_MSPS - 1.0) > max_dev:
+        return False, (f"calib {cm:.0f} deviates >{max_dev:.0%} from "
+                       f"clean reference {CALIB_REF_MSPS:.0f}")
+    return True, "ok"
+
+
 def write_artifact(path: str, payload: dict, jax=None, jnp=None,
-                   with_calib: bool = True) -> None:
-    """Write a perf JSON stamped with session id (+ calibration if TPU)."""
+                   with_calib: bool = True, force: bool = False) -> bool:
+    """Write a perf JSON stamped with session id (+ calibration if TPU).
+
+    REFUSES to overwrite an existing artifact from a contended session
+    (calib_valid fails) unless ``force=True``; a forced write stamps
+    ``contention_warning`` so no number is silently trusted. Returns
+    whether the artifact was written.
+    """
     meta = {"session": session_id()}
     if with_calib and jax is not None:
         try:
             meta.update(calibrate(jax, jnp))
         except Exception as e:  # pragma: no cover
             meta["calib_error"] = str(e)[:200]
+    ok, why = calib_valid(meta)
+    if not ok:
+        if not force and pathlib.Path(path).exists():
+            print(f"REFUSING to overwrite {path}: contended session ({why}); "
+                  f"pass force=True to override")
+            return False
+        meta["contention_warning"] = why
     payload = dict(payload)
     payload["_meta"] = meta
     pathlib.Path(path).write_text(json.dumps(payload, indent=1))
-    print(f"wrote {path} (session {meta['session']})")
+    print(f"wrote {path} (session {meta['session']}, calib: {why})")
+    return True

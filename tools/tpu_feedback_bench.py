@@ -45,7 +45,7 @@ def main() -> int:
                       jnp.asarray(np.ascontiguousarray(x.imag)))
 
     # --- symsync channel scaling, slots (no compaction) vs full execute ----
-    for channels in (64, 256, 1024):
+    for channels in (64, 256, 1024, 2048):
         px = make_px(channels)
         mk = lambda: Symsync.create_rnyquist(
             FirFilterShape.RRCOS, 2, 7, 0.3, batch_shape=(channels,)
@@ -65,20 +65,22 @@ def main() -> int:
             results[f"symsync_slots_c{channels}"] = {"error": str(e)[:200]}
             print(f"symsync slots C={channels} FAILED: {e}", file=sys.stderr)
 
-    # full execute (with argsort compaction) at C=64 → compaction overhead
-    px = make_px(64)
-    mk = lambda: Symsync.create_rnyquist(
-        FirFilterShape.RRCOS, 2, 7, 0.3, batch_shape=(64,)
-    ).set_lf_bw(0.02)
-    try:
-        m_full, r_full = pc.chain_rate(
-            jax, jnp, mk, lambda s, v: s.execute(v), 64 * block, 8, 3, px,
-        )
-        results["symsync_execute_c64"] = {"msps": round(m_full, 1)}
-        print(f"symsync execute (compacted) C=64: {m_full:.1f} Msps")
-    except Exception as e:
-        results["symsync_execute_c64"] = {"error": str(e)[:200]}
-        print(f"symsync execute FAILED: {e}", file=sys.stderr)
+    # full execute (sort-compacted, round-4 default) → compaction overhead
+    for channels in (64, 1024):
+        px = make_px(channels)
+        mk = lambda: Symsync.create_rnyquist(
+            FirFilterShape.RRCOS, 2, 7, 0.3, batch_shape=(channels,)
+        ).set_lf_bw(0.02)
+        try:
+            m_full, r_full = pc.chain_rate(
+                jax, jnp, mk, lambda s, v: s.execute(v),
+                channels * block, 8, 3, px,
+            )
+            results[f"symsync_execute_c{channels}"] = {"msps": round(m_full, 1)}
+            print(f"symsync execute (sort-compacted) C={channels}: {m_full:.1f} Msps")
+        except Exception as e:
+            results[f"symsync_execute_c{channels}"] = {"error": str(e)[:200]}
+            print(f"symsync execute FAILED: {e}", file=sys.stderr)
 
     # --- QamRx (config[3]) -------------------------------------------------
     from yagi_tpu.chains import QamRx
@@ -112,6 +114,65 @@ def main() -> int:
         except Exception as e:
             results[f"qamrx_masked_c{channels}"] = {"error": str(e)[:200]}
             print(f"qamrx masked C={channels} FAILED: {e}", file=sys.stderr)
+
+    # --- config[1] composite: arbitrary msresamp (farrow) + symsync -------
+    import bench
+
+    try:
+        m1, r1 = bench.bench_symsync(jax, jnp)
+        results["config1_msresamp_symsync_c1024"] = {"msps": round(m1, 1)}
+        print(f"config1 composite C=1024: {m1:.1f} Msps")
+    except Exception as e:
+        results["config1_msresamp_symsync_c1024"] = {"error": str(e)[:200]}
+        print(f"config1 composite FAILED: {e}", file=sys.stderr)
+
+    # --- small-C block LATENCY (VERDICT r3 next#8: per-stream floor) -------
+    # Aggregate throughput needs C >= 256; a real SDR front-end also cares
+    # about single-stream block latency. Block 4096, C in {1, 4, 16, 64}.
+    import time as _t
+
+    from yagi_tpu.chains import FmStereoRx
+
+    lat = {}
+    t_null = pc.null_latency(jax, jnp)
+    for name, mkfn, stepfn, blk in (
+        ("symsync", lambda C: Symsync.create_rnyquist(
+            FirFilterShape.RRCOS, 2, 7, 0.3, batch_shape=(C,)).set_lf_bw(0.02),
+         lambda s, v: s.execute_slots(v), 4096),
+        ("qamrx", lambda C: QamRx.create(batch_shape=(C,)),
+         lambda s, v: s.step_masked(v), 4096),
+        ("fm_stereo", lambda C: FmStereoRx.create(batch_shape=(C,)),
+         lambda s, v: s.step(v), 4096),
+    ):
+        for C in (1, 4, 16, 64):
+            try:
+                from yagi_tpu.utils.planar import planar_jit
+
+                x = (rng.standard_normal((C, blk)) + 1j *
+                     rng.standard_normal((C, blk))).astype(np.complex64) * 0.3
+                pxl = Planar(jnp.asarray(x.real.copy()),
+                             jnp.asarray(x.imag.copy()))
+                st = planar_jit(lambda mk=mkfn, CC=C: mk(CC))()
+                g = planar_jit(stepfn)
+                rb = jax.jit(lambda v: jnp.abs(
+                    jnp.ravel(v)[:1].astype(jnp.float32)).reshape(1, 1))
+                out = g(st, pxl)
+                lead = out[0]
+                _ = np.asarray(rb(lead.re if isinstance(lead, Planar) else lead))
+                ts = []
+                for _r in range(5):
+                    t0 = _t.perf_counter()
+                    out = g(st, pxl)
+                    lead = out[0]
+                    _ = np.asarray(rb(
+                        lead.re if isinstance(lead, Planar) else lead))
+                    ts.append(_t.perf_counter() - t0 - t_null)
+                ms = round(float(np.median(ts)) * 1e3, 2)
+                lat[f"{name}_c{C}_block{blk}_ms"] = ms
+                print(f"latency {name} C={C}: {ms:.2f} ms/block")
+            except Exception as e:
+                lat[f"{name}_c{C}_block{blk}_ms"] = f"skipped: {str(e)[:80]}"
+    results["small_c_latency"] = lat
 
     pc.write_artifact("FEEDBACK_PROFILE.json", results, jax, jnp)
     return 0

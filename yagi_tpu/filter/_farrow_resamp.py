@@ -144,7 +144,11 @@ def periodic_grid(step_nom: int, cap: int):
         ntil = (m // p2) * q2 + pat[m % p2]
         d_lo = int((lo_v - ntil).min())
         d_hi = int((hi_v - ntil).max())
-        cost = p2 * (d_hi - d_lo + 1)
+        D = d_hi - d_lo + 1
+        # select-matmul MACs/input ≈ (band/q̃)·p̃·D plus the D-wide one-hot
+        # downstream (both grow with D; a tight D beats a short period)
+        band = q2 + D
+        cost = band * p2 * D / max(1, q2) + 10.0 * D
         if best is None or cost < best[0]:
             best = (cost, q2, p2, pat, ntil, d_lo, d_hi)
     return best[1:]
@@ -204,63 +208,72 @@ def farrow_resample_values(
     D = d_hi - d_lo + 1
     max_n0 = max(0, (step_nom - 1) >> 24) + 2  # entry offset bound (+margin)
 
+    # Everything below runs PLANAR (re/im as one flattened leading batch)
+    # and fully FLATTENED: a dot_general with >1 leading dim runs ~40×
+    # slower on this toolchain than the same FLOPs as a 2-D matmul
+    # (measured, /tmp/tpuq jobs 47/48 round 4) — so every conv and the
+    # select matmul see [N, len]/[N·rows, band] shapes only.
+    batch_shape = xa.shape[:-1]
+    is_c = jnp.issubdtype(xa.dtype, jnp.complexfloating)
+    if is_c:
+        xf = jnp.concatenate(
+            [jnp.real(xa).reshape((-1, xa.shape[-1])),
+             jnp.imag(xa).reshape((-1, xa.shape[-1]))], axis=0
+        )  # [2B, L-1+n] f32
+    else:
+        xf = xa.reshape((-1, xa.shape[-1]))
+
     # ---- z2 = half-integer-grid samples of (h ⊛ x) --------------------
     # causal_conv_valid(xa, h)[i] = Σ_k h[k]·xa[i+L−1−k] = Σ_j h[L−1−j]·xa[i+j]
     # — the gather path's Σ_j xa[i+j]·br[L−1−j] with h = br: branch 0 gives
     # (h⊛x)(i), branch npfb/2 gives (h⊛x)(i+½); interleave → z2[2i(+1)]
-    z_e = causal_conv_valid(xa, branches[0])  # [..., n]
-    z_o = causal_conv_valid(xa, branches[npfb // 2])
+    z_e = causal_conv_valid(xf, branches[0])  # [2B, n]
+    z_o = causal_conv_valid(xf, branches[npfb // 2])
     z2 = jnp.stack([z_e, z_o], axis=-1).reshape(
-        z_e.shape[:-1] + (2 * z_e.shape[-1],)
+        (z_e.shape[0], 2 * z_e.shape[-1])
     )
     # pad right for grid overrun + farrow reach + the dynamic 2n₀ shift
     pad = 2 * max_n0 + max(0, d_hi) - min(0, d_lo) + T + 8
-    z2 = jnp.pad(z2, [(0, 0)] * (z2.ndim - 1) + [(0, pad)])
+    z2 = jnp.pad(z2, [(0, 0), (0, pad)])
 
     # ---- farrow branch streams v_k[p] = Σ_t C[k,t]·z2[p−d+t] ----------
-    zl = jnp.pad(z2, [(0, 0)] * (z2.ndim - 1) + [(d, T - 1 - d)])
-    vks = [
-        causal_conv_valid(zl, jnp.asarray(C[k][::-1], z2.dtype))
-        for k in range(K + 1)
-    ]  # each [..., len(z2)]
+    zl = jnp.pad(z2, [(0, 0), (d, T - 1 - d)])
+    vks = [causal_conv_valid(zl, jnp.asarray(C[k][::-1], jnp.float32))
+           for k in range(K + 1)]
+    vall = jnp.concatenate(vks, axis=0)  # [(K+1)·2B, len]
 
     # ---- select v_k at half-grid positions 2n₀ + ñ_m + δ_m ------------
     n0 = (phase >> jnp.uint32(24)).astype(jnp.int32)
     # one dynamic shift of the whole stream by the traced entry offset
-    vall = jnp.stack(vks)  # [K+1, ..., len]
     vall = jax.lax.dynamic_slice_in_dim(
         vall, 2 * jnp.clip(n0, 0, max_n0), vall.shape[-1] - 2 * max_n0,
         axis=-1,
     )
-    # periodic-grid selection as reshapes + ONE static 0/1 matmul (the
-    # gather-free formulation — see periodic_grid). Row r of the reshaped
-    # stream covers positions [r·q̃, r·q̃ + band); output (j, di) of the
-    # period reads local position pat[j] + d_lo + di + off.
+    # periodic-grid selection as reshapes + ONE static 0/1 2-D matmul
+    # (gather-free — see periodic_grid). Row r of the reshaped stream
+    # covers positions [r·q̃, r·q̃ + band); output (j, di) of the period
+    # reads local position pat[j] + d_lo + di + off.
     off = max(0, -d_lo)
     rows = -(-cap // p2)
     band = q2 + (d_hi - d_lo) + off + 1
     nov = -(-band // q2)  # extra overlap rows (band can exceed 2·q̃)
     need = (rows + nov) * q2
     vv = jnp.pad(
-        vall,
-        [(0, 0)] * (vall.ndim - 1)
-        + [(off, max(0, need - off - vall.shape[-1]))],
+        vall, [(0, 0), (off, max(0, need - off - vall.shape[-1]))]
     )
-    x3 = vv[..., :need].reshape(vv.shape[:-1] + (rows + nov, q2))
+    x3 = vv[:, :need].reshape((vv.shape[0], rows + nov, q2))
     frames = jnp.concatenate(
-        [x3[..., s : rows + s, :] for s in range(nov)], axis=-1
-    )[..., :band]  # [K+1, ..., rows, band]
+        [x3[:, s : rows + s, :] for s in range(nov)], axis=-1
+    )[..., :band]  # [(K+1)·2B, rows, band]
     sel_np = np.zeros((band, p2 * D), np.float32)
     uj = (_pat[:, None] + d_lo + off + np.arange(D)[None, :]).reshape(-1)
     sel_np[uj, np.arange(p2 * D)] = 1.0
-    selM = jnp.asarray(sel_np, frames.dtype if not jnp.issubdtype(
-        frames.dtype, jnp.complexfloating) else jnp.float32)
+    selM = jnp.asarray(sel_np)
     out = jax.lax.dot_general(
-        frames, selM.astype(frames.dtype),
-        (((frames.ndim - 1,), (0,)), ((), ())),
-    )  # [K+1, ..., rows, p̃·D]
-    out = out.reshape(out.shape[:-2] + (rows * p2, D))[..., :cap, :]
-    Fk = [out[k] for k in range(K + 1)]
+        frames.reshape((-1, band)), selM,
+        (((1,), (0,)), ((), ())),
+    )  # [(K+1)·2B·rows, p̃·D] — ONE 2-D MXU matmul
+    out = out.reshape((frames.shape[0], rows * p2, D))[:, :cap, :]
 
     # p_m = phase_m >> 23 = 2·n_m + half-bit; relative to the shifted stream
     p_m = ((n_m.astype(jnp.uint32) << 1)
@@ -269,15 +282,21 @@ def farrow_resample_values(
     oh = (
         delta[:, None] == jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32)
     ).astype(jnp.float32)
-    vsel = [jnp.sum(f * oh, axis=-1) for f in Fk]  # [..., cap]
+    vsel = jnp.sum(out * oh, axis=-1)  # [(K+1)·2B, cap]
 
     # ---- polynomial in the exact fractional HALF-phase ----------------
     mu = (lo_bits & jnp.uint32(0x7FFFFF)).astype(jnp.float32) * jnp.float32(
         2.0 ** -23
     )
-    y = vsel[K]
+    nb = vsel.shape[0] // (K + 1)
+    y = vsel[K * nb:]
     for k in range(K - 1, -1, -1):
-        y = y * mu + vsel[k]
+        y = y * mu + vsel[k * nb : (k + 1) * nb]
+    # back to complex + original batch shape
+    if is_c:
+        B = nb // 2
+        y = jax.lax.complex(y[:B], y[B:])
+    y = y.reshape(batch_shape + (cap,))
 
     # ---- exact-dotprod tail (farrow window would need future inputs) ---
     # Only the last tail_cap slots can have n_m ≥ n − lookahead − max_n0

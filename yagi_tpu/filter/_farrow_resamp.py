@@ -151,7 +151,63 @@ def periodic_grid(step_nom: int, cap: int):
         cost = band * p2 * D / max(1, q2) + 10.0 * D
         if best is None or cost < best[0]:
             best = (cost, q2, p2, pat, ntil, d_lo, d_hi)
-    return best[1:]
+    # the parity-split combined matmul needs an EVEN period in z2 positions
+    # (q̃ odd would flip the even/odd stream roles every row)
+    cost, q2, p2, pat, ntil, d_lo, d_hi = best
+    if q2 % 2:
+        p2, q2 = 2 * p2, 2 * q2
+        pat = (np.arange(p2, dtype=np.int64) * q2) // p2
+        ntil = (m // p2) * q2 + pat[m % p2]
+        d_lo = int((lo_v - ntil).min())
+        d_hi = int((hi_v - ntil).max())
+    return q2, p2, pat, ntil, d_lo, d_hi
+
+
+_COMBINED_CACHE: dict = {}
+
+
+def combined_select_matrices(step_nom: int, cap: int, band_hz: float):
+    """Host-built matrices folding the K+1 Farrow FIRs AND the periodic
+    δ-window selection into ONE banded matmul per parity stream.
+
+    Output column (j, k, di) of a period holds C_k's taps placed at z2
+    position pat[j] + d_lo + di + (t − T//2+1) + σ; even positions land in
+    G_e (read from the branch-0 stream), odd in G_o (branch-npfb/2
+    stream). σ (even) shifts all positions non-negative. Cached per
+    (step, cap, band).
+    """
+    key = (step_nom, cap, round(band_hz, 3))
+    if key in _COMBINED_CACHE:
+        return _COMBINED_CACHE[key]
+    q2, p2, pat, ntil, d_lo, d_hi = periodic_grid(step_nom, cap)
+    D = d_hi - d_lo + 1
+    C = farrow_coeffs(band=band_hz)
+    T, K = C.shape[1], C.shape[0] - 1
+    d_far = T // 2 - 1
+    xi_min = d_lo - d_far
+    sigma = 2 * ((max(0, -xi_min) + 1) // 2)
+    Qh = q2 // 2
+    xi_max = int(pat.max()) + d_hi + (T - 1 - d_far) + sigma
+    He = xi_max // 2 + 1
+    nov = -(-He // Qh)
+    W = p2 * (K + 1) * D
+    Ge = np.zeros((nov * Qh, W), np.float32)
+    Go = np.zeros((nov * Qh, W), np.float32)
+    t_idx = np.arange(T)
+    for j in range(p2):
+        base = int(pat[j]) + d_lo + sigma - d_far
+        for k in range(K + 1):
+            for di in range(D):
+                col = (j * (K + 1) + k) * D + di
+                xi = base + di + t_idx
+                ev = (xi % 2) == 0
+                Ge[xi[ev] // 2, col] = C[k][t_idx[ev]]
+                Go[(xi[~ev] - 1) // 2, col] = C[k][t_idx[~ev]]
+    out = dict(q2=q2, p2=p2, pat=pat, ntil=ntil, d_lo=d_lo, d_hi=d_hi,
+               D=D, T=T, K=K, sigma=sigma, Qh=Qh, nov=nov, W=W,
+               Ge=Ge, Go=Go)
+    _COMBINED_CACHE[key] = out
+    return out
 
 
 def tail_capacity(step_nom: int) -> int:
@@ -196,23 +252,22 @@ def farrow_resample_values(
     npfb = branches.shape[0]
     cap = out_capacity
     # farrow operates on the 2×-OVERSAMPLED z grid (branch 0 + branch
-    # npfb/2 interleaved), so its design band is half the signal band —
+    # npfb/2, parity-split), so its design band is half the signal band —
     # ≤ −55 dB for every legal prototype cutoff fc < 0.5
-    C = farrow_coeffs(band=min(0.249, band / 2.0))
-    T, K = C.shape[1], C.shape[0] - 1
+    G = combined_select_matrices(step_nom, cap, min(0.249, band / 2.0))
+    p2, D, T, K = G["p2"], G["D"], G["T"], G["K"]
+    Qh, nov, sigma = G["Qh"], G["nov"], G["sigma"]
+    d_lo, d_hi = G["d_lo"], G["d_hi"]
+    ntil_np = G["ntil"]
     d = T // 2 - 1
     lookahead = (T - d) // 2 + 2  # future INPUT samples the window reaches
-
-    # ---- periodic static half-grid + proven δ window ------------------
-    q2, p2, _pat, ntil_np, d_lo, d_hi = periodic_grid(step_nom, cap)
-    D = d_hi - d_lo + 1
     max_n0 = max(0, (step_nom - 1) >> 24) + 2  # entry offset bound (+margin)
 
     # Everything below runs PLANAR (re/im as one flattened leading batch)
     # and fully FLATTENED: a dot_general with >1 leading dim runs ~40×
     # slower on this toolchain than the same FLOPs as a 2-D matmul
-    # (measured, /tmp/tpuq jobs 47/48 round 4) — so every conv and the
-    # select matmul see [N, len]/[N·rows, band] shapes only.
+    # (measured, /tmp/tpuq jobs 47/48/50 round 4) — so every conv and the
+    # combined matmul see [N, len] / [N·rows, Qh] shapes only.
     batch_shape = xa.shape[:-1]
     is_c = jnp.issubdtype(xa.dtype, jnp.complexfloating)
     if is_c:
@@ -223,57 +278,39 @@ def farrow_resample_values(
     else:
         xf = xa.reshape((-1, xa.shape[-1]))
 
-    # ---- z2 = half-integer-grid samples of (h ⊛ x) --------------------
+    # ---- z streams: (h ⊛ x) at integer / half-integer offsets ---------
     # causal_conv_valid(xa, h)[i] = Σ_k h[k]·xa[i+L−1−k] = Σ_j h[L−1−j]·xa[i+j]
-    # — the gather path's Σ_j xa[i+j]·br[L−1−j] with h = br: branch 0 gives
-    # (h⊛x)(i), branch npfb/2 gives (h⊛x)(i+½); interleave → z2[2i(+1)]
+    # — the gather path's Σ_j xa[i+j]·br[L−1−j] with h = br: branch 0 is
+    # (h⊛x)(i) (the even z2 positions), branch npfb/2 is (h⊛x)(i+½) (odd)
     z_e = causal_conv_valid(xf, branches[0])  # [2B, n]
     z_o = causal_conv_valid(xf, branches[npfb // 2])
-    z2 = jnp.stack([z_e, z_o], axis=-1).reshape(
-        (z_e.shape[0], 2 * z_e.shape[-1])
-    )
-    # pad right for grid overrun + farrow reach + the dynamic 2n₀ shift
-    pad = 2 * max_n0 + max(0, d_hi) - min(0, d_lo) + T + 8
-    z2 = jnp.pad(z2, [(0, 0), (0, pad)])
 
-    # ---- farrow branch streams v_k[p] = Σ_t C[k,t]·z2[p−d+t] ----------
-    zl = jnp.pad(z2, [(0, 0), (d, T - 1 - d)])
-    vks = [causal_conv_valid(zl, jnp.asarray(C[k][::-1], jnp.float32))
-           for k in range(K + 1)]
-    vall = jnp.concatenate(vks, axis=0)  # [(K+1)·2B, len]
-
-    # ---- select v_k at half-grid positions 2n₀ + ñ_m + δ_m ------------
-    n0 = (phase >> jnp.uint32(24)).astype(jnp.int32)
-    # one dynamic shift of the whole stream by the traced entry offset
-    vall = jax.lax.dynamic_slice_in_dim(
-        vall, 2 * jnp.clip(n0, 0, max_n0), vall.shape[-1] - 2 * max_n0,
-        axis=-1,
-    )
-    # periodic-grid selection as reshapes + ONE static 0/1 2-D matmul
-    # (gather-free — see periodic_grid). Row r of the reshaped stream
-    # covers positions [r·q̃, r·q̃ + band); output (j, di) of the period
-    # reads local position pat[j] + d_lo + di + off.
-    off = max(0, -d_lo)
+    # ---- ONE banded matmul = farrow FIRs ∘ periodic δ-window select ----
+    # (combined_select_matrices). Output column (j, k, di) of period r is
+    # Σ_t C_k[t]·z2[2n₀ + r·q̃ + pat[j] + d_lo + di + t − d̄]; the even/odd
+    # z2 positions come from the two parity streams, each consumed as
+    # contiguous row blocks — no interleave, no concat, no gather.
+    n0 = jnp.clip((phase >> jnp.uint32(24)).astype(jnp.int32), 0, max_n0)
     rows = -(-cap // p2)
-    band = q2 + (d_hi - d_lo) + off + 1
-    nov = -(-band // q2)  # extra overlap rows (band can exceed 2·q̃)
-    need = (rows + nov) * q2
-    vv = jnp.pad(
-        vall, [(0, 0), (off, max(0, need - off - vall.shape[-1]))]
-    )
-    x3 = vv[:, :need].reshape((vv.shape[0], rows + nov, q2))
-    frames = jnp.concatenate(
-        [x3[:, s : rows + s, :] for s in range(nov)], axis=-1
-    )[..., :band]  # [(K+1)·2B, rows, band]
-    sel_np = np.zeros((band, p2 * D), np.float32)
-    uj = (_pat[:, None] + d_lo + off + np.arange(D)[None, :]).reshape(-1)
-    sel_np[uj, np.arange(p2 * D)] = 1.0
-    selM = jnp.asarray(sel_np)
-    out = jax.lax.dot_general(
-        frames.reshape((-1, band)), selM,
-        (((1,), (0,)), ((), ())),
-    )  # [(K+1)·2B·rows, p̃·D] — ONE 2-D MXU matmul
-    out = out.reshape((frames.shape[0], rows * p2, D))[:, :cap, :]
+    s2 = sigma // 2
+    need = (rows + nov) * Qh
+    right = max(0, need + max_n0 - (z_e.shape[-1] + s2))
+    outs = []
+    for z, Gm in ((z_e, G["Ge"]), (z_o, G["Go"])):
+        zp = jnp.pad(z, [(0, 0), (s2, right)])
+        zs = jax.lax.dynamic_slice_in_dim(zp, n0, need, axis=-1)
+        x3 = jax.lax.optimization_barrier(
+            zs.reshape((zs.shape[0], rows + nov, Qh))
+        )
+        acc = None
+        for s in range(nov):
+            Ms = jnp.asarray(Gm[s * Qh : (s + 1) * Qh])  # [Qh, W]
+            lhs = x3[:, s : rows + s, :].reshape((-1, Qh))
+            Ps = jax.lax.dot_general(lhs, Ms, (((1,), (0,)), ((), ())))
+            acc = Ps if acc is None else acc + Ps
+        outs.append(acc)
+    out = (outs[0] + outs[1]).reshape((z_e.shape[0], rows * p2, K + 1, D))
+    out = out[:, :cap]
 
     # p_m = phase_m >> 23 = 2·n_m + half-bit; relative to the shifted stream
     p_m = ((n_m.astype(jnp.uint32) << 1)
@@ -282,19 +319,18 @@ def farrow_resample_values(
     oh = (
         delta[:, None] == jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32)
     ).astype(jnp.float32)
-    vsel = jnp.sum(out * oh, axis=-1)  # [(K+1)·2B, cap]
+    vsel = jnp.sum(out * oh[None, :, None, :], axis=-1)  # [2B, cap, K+1]
 
     # ---- polynomial in the exact fractional HALF-phase ----------------
     mu = (lo_bits & jnp.uint32(0x7FFFFF)).astype(jnp.float32) * jnp.float32(
         2.0 ** -23
     )
-    nb = vsel.shape[0] // (K + 1)
-    y = vsel[K * nb:]
+    y = vsel[..., K]
     for k in range(K - 1, -1, -1):
-        y = y * mu + vsel[k * nb : (k + 1) * nb]
+        y = y * mu + vsel[..., k]
     # back to complex + original batch shape
     if is_c:
-        B = nb // 2
+        B = y.shape[0] // 2
         y = jax.lax.complex(y[:B], y[B:])
     y = y.reshape(batch_shape + (cap,))
 

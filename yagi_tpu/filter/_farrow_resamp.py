@@ -190,22 +190,59 @@ def combined_select_matrices(step_nom: int, cap: int, band_hz: float):
     xi_max = int(pat.max()) + d_hi + (T - 1 - d_far) + sigma
     He = xi_max // 2 + 1
     nov = -(-He // Qh)
-    W = p2 * (K + 1) * D
-    Ge = np.zeros((nov * Qh, W), np.float32)
-    Go = np.zeros((nov * Qh, W), np.float32)
-    t_idx = np.arange(T)
-    for j in range(p2):
-        base = int(pat[j]) + d_lo + sigma - d_far
+    # WINDOW selection (K-independent): column (w, j) of a period picks the
+    # z2 sample at pat[j] + d_lo + w − d̄ + σ (w ∈ [0, Wt), Wt = T+D−1) —
+    # one 0/1 matrix per parity stream. The Farrow taps for every output are
+    # then a SMALL per-output combination CW[δ, k·Wt + w] = C_k[w − δ+d_lo]
+    # applied in the output domain — the expensive select runs once, not
+    # once per polynomial stream. Column order (w, j) keeps every
+    # downstream slice contiguous (no sub-128 minor dims: TPU tiles pad
+    # the last two dims to (8,128); a [.., K+1, D] layout OOM'd 29×).
+    Wt = T + D - 1
+    W = Wt * p2
+    # CHUNKED one-hot select: each column has exactly ONE nonzero row, and
+    # within a w-block the row is monotone in j — so columns split into
+    # contiguous j-ranges per 128-row chunk, and each chunk's dot is a
+    # dense [.., 128]×[128, cols] matmul instead of a [.., Qh]-tall sparse
+    # one (Qh/128 ≈ 2-10× fewer wasted MACs). Per parity: a list of
+    # (chunk_row, matrix [128, ncols], pieces[(w, ja, jb, col_off)]).
+    CH = min(128, Qh)
+    chunks = ([], [])  # per parity: [(chunk_row, M [CH, ncols], meta)]
+    for parity in (0, 1):
+        pieces = {}
+        for w in range(Wt):
+            base = d_lo + sigma - d_far + w
+            xi = pat + base  # [p2] z2 positions, monotone in j
+            hot = (xi % 2) == parity
+            u = np.maximum(0, (xi - parity) // 2)  # row in this stream
+            ch = u // CH
+            for c in np.unique(ch):
+                mask = ch == c
+                jj = np.nonzero(mask)[0]
+                ja, jb = int(jj[0]), int(jj[-1]) + 1  # contiguous (monotone)
+                pieces.setdefault(int(c), []).append(
+                    (w, ja, jb, u[ja:jb] - c * CH, hot[ja:jb])
+                )
+        for c in sorted(pieces):
+            plist = pieces[c]
+            ncols = sum(jb - ja for (_w, ja, jb, _u, _h) in plist)
+            M = np.zeros((CH, ncols), np.float32)
+            off = 0
+            meta = []
+            for (w, ja, jb, ulocal, hot_l) in plist:
+                idx = np.arange(jb - ja)
+                M[ulocal[hot_l], off + idx[hot_l]] = 1.0
+                meta.append((w, ja, jb, off))
+                off += jb - ja
+            chunks[parity].append((c, M, meta))
+    CW = np.zeros((D, (K + 1) * Wt), np.float32)
+    for di in range(D):
         for k in range(K + 1):
-            for di in range(D):
-                col = (j * (K + 1) + k) * D + di
-                xi = base + di + t_idx
-                ev = (xi % 2) == 0
-                Ge[xi[ev] // 2, col] = C[k][t_idx[ev]]
-                Go[(xi[~ev] - 1) // 2, col] = C[k][t_idx[~ev]]
+            for t in range(T):
+                CW[di, k * Wt + (di + t)] = C[k][t]
     out = dict(q2=q2, p2=p2, pat=pat, ntil=ntil, d_lo=d_lo, d_hi=d_hi,
-               D=D, T=T, K=K, sigma=sigma, Qh=Qh, nov=nov, W=W,
-               Ge=Ge, Go=Go)
+               D=D, T=T, K=K, Wt=Wt, sigma=sigma, Qh=Qh, nov=nov, W=W,
+               CH=CH, chunks=chunks, CW=CW)
     _COMBINED_CACHE[key] = out
     return out
 
@@ -255,7 +292,7 @@ def farrow_resample_values(
     # npfb/2, parity-split), so its design band is half the signal band —
     # ≤ −55 dB for every legal prototype cutoff fc < 0.5
     G = combined_select_matrices(step_nom, cap, min(0.249, band / 2.0))
-    p2, D, T, K = G["p2"], G["D"], G["T"], G["K"]
+    p2, D, T, K, Wt = G["p2"], G["D"], G["T"], G["K"], G["Wt"]
     Qh, nov, sigma = G["Qh"], G["nov"], G["sigma"]
     d_lo, d_hi = G["d_lo"], G["d_hi"]
     ntil_np = G["ntil"]
@@ -293,24 +330,12 @@ def farrow_resample_values(
     n0 = jnp.clip((phase >> jnp.uint32(24)).astype(jnp.int32), 0, max_n0)
     rows = -(-cap // p2)
     s2 = sigma // 2
-    need = (rows + nov) * Qh
+    CH = G["CH"]
+    max_c = max((c for par in G["chunks"] for (c, _M, _m) in par),
+                default=0)
+    need = max_c * CH + (rows + 1) * Qh
     right = max(0, need + max_n0 - (z_e.shape[-1] + s2))
-    outs = []
-    for z, Gm in ((z_e, G["Ge"]), (z_o, G["Go"])):
-        zp = jnp.pad(z, [(0, 0), (s2, right)])
-        zs = jax.lax.dynamic_slice_in_dim(zp, n0, need, axis=-1)
-        x3 = jax.lax.optimization_barrier(
-            zs.reshape((zs.shape[0], rows + nov, Qh))
-        )
-        acc = None
-        for s in range(nov):
-            Ms = jnp.asarray(Gm[s * Qh : (s + 1) * Qh])  # [Qh, W]
-            lhs = x3[:, s : rows + s, :].reshape((-1, Qh))
-            Ps = jax.lax.dot_general(lhs, Ms, (((1,), (0,)), ((), ())))
-            acc = Ps if acc is None else acc + Ps
-        outs.append(acc)
-    out = (outs[0] + outs[1]).reshape((z_e.shape[0], rows * p2, K + 1, D))
-    out = out[:, :cap]
+    nb = z_e.shape[0]  # 2B planar streams
 
     # p_m = phase_m >> 23 = 2·n_m + half-bit; relative to the shifted stream
     p_m = ((n_m.astype(jnp.uint32) << 1)
@@ -319,15 +344,60 @@ def farrow_resample_values(
     oh = (
         delta[:, None] == jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32)
     ).astype(jnp.float32)
-    vsel = jnp.sum(out * oh[None, :, None, :], axis=-1)  # [2B, cap, K+1]
-
-    # ---- polynomial in the exact fractional HALF-phase ----------------
     mu = (lo_bits & jnp.uint32(0x7FFFFF)).astype(jnp.float32) * jnp.float32(
         2.0 ** -23
     )
-    y = vsel[..., K]
+
+    # ---- window select: chunked one-hot dots (K-independent) ----------
+    # 2-pass bf16 split: the rhs is exactly representable (0/1), so
+    # dot(hi) + dot(lo) with hi = bf16-rounded lhs reconstructs the f32
+    # selection to ~2^-17 while running at bf16 MXU rate.
+    def dot01(lhs, Ms):
+        hi = lhs.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = lhs - hi
+        d1 = jax.lax.dot_general(hi, Ms, (((1,), (0,)), ((), ())))
+        d2 = jax.lax.dot_general(lo, Ms, (((1,), (0,)), ((), ())))
+        return d1 + d2
+
+    Oc = {}
+    for parity, z in ((0, z_e), (1, z_o)):
+        zp = jnp.pad(z, [(0, 0), (s2, right)])
+        zs = jax.lax.dynamic_slice_in_dim(zp, n0, need, axis=-1)
+        for (c, M, meta) in G["chunks"][parity]:
+            seg = zs[:, c * CH : c * CH + (rows + 1) * Qh]
+            x3c = jax.lax.optimization_barrier(
+                seg.reshape((nb, rows + 1, Qh))[:, :rows, :CH]
+            )
+            Oc[(parity, c)] = dot01(
+                x3c.reshape((-1, CH)), jnp.asarray(M)
+            )  # [nb·rows, ncols_c]
+
+    # ---- per-output taps: tiny (δ one-hot) @ CW, Horner in μ ----------
+    A = jax.lax.dot_general(
+        oh, jnp.asarray(G["CW"]), (((1,), (0,)), ((), ()))
+    )  # [cap, (K+1)·Wt]
+    coef = A[:, K * Wt : (K + 1) * Wt]
     for k in range(K - 1, -1, -1):
-        y = y * mu + vsel[..., k]
+        coef = coef * mu[:, None] + A[:, k * Wt : (k + 1) * Wt]
+
+    # ---- y = Σ_w window_w · coef_w --------------------------------------
+    # per (w, parity) the chunk pieces tile [0, p̃) in ascending j (zero
+    # columns included for the other parity), so window w reassembles as a
+    # plain concat — no scatter
+    y = None
+    for w in range(Wt):
+        parts = None
+        for parity in (0, 1):
+            segs = []
+            for (c, M, meta) in G["chunks"][parity]:
+                for (pw, ja, jb, off) in meta:
+                    if pw == w:
+                        segs.append((ja, Oc[(parity, c)][:, off : off + jb - ja]))
+            segs.sort(key=lambda t: t[0])
+            part = jnp.concatenate([s[1] for s in segs], axis=1)
+            parts = part if parts is None else parts + part
+        term = parts.reshape((nb, rows * p2))[:, :cap] * coef[:, w]
+        y = term if y is None else y + term
     # back to complex + original batch shape
     if is_c:
         B = y.shape[0] // 2

@@ -168,7 +168,11 @@ def main() -> int:
                         lead.re if isinstance(lead, Planar) else lead))
                     ts.append(_t.perf_counter() - t0 - t_null)
                 ms = round(float(np.median(ts)) * 1e3, 2)
-                lat[f"{name}_c{C}_block{blk}_ms"] = ms
+                if ms <= 0.05:
+                    # device time below the tunnel round-trip floor
+                    lat[f"{name}_c{C}_block{blk}_ms"] = "<null-RT floor"
+                else:
+                    lat[f"{name}_c{C}_block{blk}_ms"] = ms
                 print(f"latency {name} C={C}: {ms:.2f} ms/block")
             except Exception as e:
                 lat[f"{name}_c{C}_block{blk}_ms"] = f"skipped: {str(e)[:80]}"

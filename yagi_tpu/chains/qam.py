@@ -224,7 +224,19 @@ class QamRx:
             d_train = shat * jnp.exp(1j * theta).astype(y.dtype)
             eq_u = eq_p.step(d_train, y)
 
-            eq = _tree_where(can_adapt, eq_u, _tree_where(vi, eq_p, eq))
+            # explicit per-field selects (cheaper than a generic tree_where
+            # over every leaf twice — scan-body op count is the measured
+            # bottleneck, kernels/ROOFLINE.md round 4): push() touches only
+            # buffer/x2/x2_sum/count (gated on vi), step() only w (gated on
+            # can_adapt)
+            vi_c = vi[..., None]
+            eq = eq.replace(
+                w=jnp.where(can_adapt[..., None], eq_u.w, eq.w),
+                buffer=jnp.where(vi_c, eq_p.buffer, eq.buffer),
+                x2=jnp.where(vi_c, eq_p.x2, eq.x2),
+                x2_sum=jnp.where(vi, eq_p.x2_sum, eq.x2_sum),
+                count=jnp.where(vi, eq_p.count, eq.count),
+            )
             theta = jnp.where(can_adapt, theta_n, theta)
             dtheta = jnp.where(can_adapt, dtheta_n, dtheta)
             sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)

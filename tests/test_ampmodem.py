@@ -105,6 +105,7 @@ class TestAmpModemStreaming:
             np.concatenate(parts), np.asarray(y_full), atol=1e-6
         )
 
+    @pytest.mark.slow
     def test_demod_split_invariance(self):
         x = _message(3000, seed=4)
         mod = AmpModem.create(mu=0.4, suppressed=False)

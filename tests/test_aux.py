@@ -354,6 +354,7 @@ class TestChannel:
 
 
 class TestFmStereo:
+    @pytest.mark.slow
     def test_stereo_separation(self):
         """Config[2]: L/R tones recovered with > 40 dB separation."""
         from yagi_tpu.chains import FmStereoRx

@@ -81,6 +81,7 @@ def test_fft_object():
 
 class TestSpgram:
     @autotest("spgram_gnuplot", "spwaterfall_gnuplot")
+    @pytest.mark.slow
     def test_gnuplot_export(self, tmp_path):
         """Gnuplot export writes a plottable script + data
         (liquid spgram_gnuplot / spwaterfall_gnuplot)."""

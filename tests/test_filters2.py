@@ -485,6 +485,7 @@ class TestFdelayOrdLpc:
         np.testing.assert_allclose(v[1:], 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestRresampReferenceScenarios:
     """The reference's 18 rresamp_crcf autotests (rresamp.rs:262-395):
     QPSK stream resampled by P/Q, output PSD against in-band/stopband
@@ -729,6 +730,7 @@ class TestMsResamp2ReferenceScenarios:
         np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+@pytest.mark.slow
 class TestMsResampReferenceScenarios:
     """msresamp_crcf autotests (msresamp.rs:180-232): QPSK stream through
     the multi-stage arbitrary resampler, output PSD against masks; plus
@@ -779,6 +781,7 @@ class TestMsResampReferenceScenarios:
         np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+@pytest.mark.slow
 class TestMsResampNumOutput:
     """msresamp_crcf_num_output_* autotests: get_num_output equals actual
     emissions over irregular block sizes for composite-stage rates."""

@@ -51,6 +51,7 @@ class TestFirpfbchr:
             # float32 twiddle/einsum rounding: ~1e-4 absolute on O(1) data
             np.testing.assert_allclose(y[k], ref, atol=1e-3)
 
+    @pytest.mark.slow
     def test_block_split_invariance(self):
         M, P = 8, 5
         ch = Firpfbchr.create_kaiser(M, P, m=4)

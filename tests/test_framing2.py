@@ -293,6 +293,7 @@ class TestMSource:
         np.testing.assert_array_equal(a, b)
 
     @autotest("msourcecf_accessor", "msourcecf_config", "qsourcecf_config")
+    @pytest.mark.slow
     def test_modem_source_and_management(self):
         src = MSource(seed=4)
         sid = src.add_modem("qpsk", fc=-0.2, bw=0.1, gain_db=-3.0)

@@ -19,6 +19,7 @@ def _rel(a, b):
     return np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
 
 
+@pytest.mark.slow
 class TestParallelIir:
     @pytest.mark.parametrize("order", [1, 2, 5, 8])
     def test_tf_form_parity(self, order):

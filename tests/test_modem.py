@@ -342,6 +342,7 @@ class TestAgc:
         assert abs(np.abs(np.asarray(y)[-50:]).mean() - 1.0) < 0.05
 
     @autotest("agc_crcf_lock")
+    @pytest.mark.slow
     def test_lock(self):
         """Locked AGC does not track; init() re-estimates (agc.rs:469-503)."""
         gamma, tol = 0.1, 0.01

@@ -21,6 +21,7 @@ def _stream(rng, n):
 
 
 @pytest.mark.parametrize("rate", [3.7, 2.0, 1.3, 0.71, 0.3, 0.17, 0.06])
+@pytest.mark.slow
 def test_jitted_blocks_match_host_path(rate):
     """jit(execute_block) across uneven blocks == host execute() stream."""
     rng = np.random.default_rng(11)

@@ -87,6 +87,7 @@ class TestQamRx:
         # impairments never pushed the timing loop past the 2-slot capacity
         assert int(np.asarray(rx.overflow_count)) == 0
 
+    @pytest.mark.slow
     def test_block_split_invariance(self):
         _, sig, _ = _tx(seed=7, nsym=1200)
         rx1 = QamRx.create("rrcos", K, M, BETA, scheme="qam16")

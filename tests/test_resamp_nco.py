@@ -309,6 +309,7 @@ class TestOsc:
             Osc.create("sideways")
 
 
+@pytest.mark.slow
 class TestResampReferenceScenarios:
     """The reference's 17 resamp_crcf autotests (resamp.rs:174-345):
     kaiser-pulse resampling against PSD masks (8 rate/attenuation combos)

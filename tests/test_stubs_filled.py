@@ -114,6 +114,7 @@ class TestDds:
             Dds.create(2, 0.7)
 
 
+@pytest.mark.slow
 class TestSpwaterfall:
     def test_rows_and_peak(self):
         wf = Spwaterfall.create(64, time_rows=8, transforms_per_row=2)

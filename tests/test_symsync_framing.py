@@ -223,6 +223,7 @@ class TestSymsync:
             Symsync.create_rnyquist(FirFilterShape.RRCOS, 2, 5, 1.5)
 
 
+@pytest.mark.slow
 class TestSymStreamDelayScenarios:
     """The reference's 20+20 symstream(r) delay-accounting autotests
     (symstream.rs:169-236, symstreamr.rs:150-261): impulse-onset delay for
@@ -273,6 +274,7 @@ class TestSymStreamDelayScenarios:
         assert abs(delay - delay_meas) < 0.05, (case, delay, delay_meas)
 
 
+@pytest.mark.slow
 class TestSymStreamPsdScenarios:
     """symstream(r) PSD-mask autotests (symstream.rs:277-301,
     symstreamr.rs:303-326), shortened runs (48000·k / 48000/bw samples vs

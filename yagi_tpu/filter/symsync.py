@@ -346,9 +346,78 @@ class Symsync:
         xs4 = jnp.concatenate([xs_all[..., :P], xs_all[..., P:]], axis=1)
         return xs4, xa
 
+    def _execute_slots_pallas(self, x, E: int, n_valid, interpret: bool):
+        """Fused-kernel route (kernels/symscan.py): the whole control loop
+        runs as ONE Mosaic program instead of per-op-dispatched scan body
+        instructions (~10× on-chip; kernels/ROOFLINE.md round 4)."""
+        from ..kernels.symscan import symsync_scan
+
+        x = jnp.asarray(x, dtype=self.window.dtype)
+        n = x.shape[-1]
+        C = self.b.shape[0]
+        if n_valid is not None:
+            n_valid = jnp.asarray(n_valid, jnp.int32)
+            x = jnp.where(jnp.arange(n) < n_valid, x, 0)
+            vf = jnp.broadcast_to(
+                (jnp.arange(n) < n_valid).astype(jnp.float32)[:, None], (n, C)
+            )
+        else:
+            vf = jnp.ones((n, C), jnp.float32)
+
+        xa = jnp.concatenate([self.window, x], axis=-1)
+        from ._conv import multi_branch_conv_tm_pre
+
+        P = self.npfb
+        planes = jnp.stack([jnp.real(xa[..., 1:]), jnp.imag(xa[..., 1:])])
+        ytm = multi_branch_conv_tm_pre(
+            planes, self.bank_g, 2 * P, self.mf.shape[1]
+        )  # [2, C, n, 2P] (lanes = [mf | dmf] per plane)
+        # [n, C, 4P]: lane groups [re·mf | re·dmf | im·mf | im·dmf]
+        xs4t = jnp.transpose(ytm, (2, 1, 0, 3)).reshape((n, C, 4 * P))
+
+        f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        state16 = jnp.concatenate([
+            jnp.stack([
+                f32(self.b), self.bf, self.tau, self.tau_decim, self.rate,
+                self.delta, f32(self.decim_counter),
+                self.pll_v[..., 0], self.pll_v[..., 1],
+            ]),
+            jnp.zeros((7, C), jnp.float32),
+        ])
+        bc = lambda v: jnp.broadcast_to(f32(v), (C,))  # noqa: E731
+        consts = jnp.stack([
+            bc(self.locked), bc(self.rate_adjustment), bc(self.pll_a[1]),
+            bc(self.pll_b[0]), bc(1.0 / self.k),
+            jnp.zeros(C), jnp.zeros(C), jnp.zeros(C),
+        ])
+        ys, st9 = symsync_scan(
+            xs4t, vf, state16, consts, P=P, E=E, k_out=self.k_out,
+            interpret=interpret,
+        )
+        packed = jnp.transpose(ys, (2, 0, 1))  # [C, n, 3E]
+
+        if n_valid is None:
+            new_window = xa[..., n:]
+        else:
+            new_window = jax.lax.dynamic_slice_in_dim(
+                xa, jnp.clip(n_valid, 0, n), self.window.shape[-1], axis=-1
+            )
+        new = self.replace(
+            window=new_window,
+            b=st9[0].astype(jnp.int32), bf=st9[1], tau=st9[2],
+            tau_decim=st9[3], rate=st9[4], delta=st9[5],
+            decim_counter=st9[6].astype(jnp.int32),
+            pll_v=jnp.stack([st9[7], st9[8]], axis=-1),
+        )
+        y_slots = jax.lax.complex(packed[..., :E], packed[..., E : 2 * E])
+        if not jnp.issubdtype(jnp.dtype(self.window.dtype), jnp.complexfloating):
+            y_slots = packed[..., :E]
+        v_slots = packed[..., 2 * E :] > 0.5
+        return y_slots, v_slots, new
+
     def execute_slots(
         self, x, samples_per_step: int | None = None,
-        max_emit: int | None = None, n_valid=None,
+        max_emit: int | None = None, n_valid=None, backend: str = "auto",
     ) -> tuple[jnp.ndarray, jnp.ndarray, "Symsync"]:
         """Synchronize a block; raw emission-slot output (symsync.rs:219-266).
 
@@ -379,6 +448,17 @@ class Symsync:
         S = 1 if samples_per_step is None else samples_per_step
         if n % S != 0:
             raise ConfigError("samples_per_step must divide the block length")
+        if backend == "pallas" and S == 1:
+            # EXPERIMENTAL: bit-exact on-chip (round-4 job 63) but currently
+            # 0.55x the XLA scan — the (C, 32)-lane one-hot ops need Mosaic
+            # layout work before this can be the default (ROOFLINE round 4).
+            from ..kernels.symscan import pallas_ok
+
+            plat = jax.devices()[0].platform
+            if pallas_ok(tuple(self.b.shape), n, self.npfb):
+                return self._execute_slots_pallas(
+                    x, E, n_valid, interpret=plat not in ("tpu", "axon")
+                )
         if n_valid is not None:
             # valid-prefix streaming (variable-rate upstream, e.g. an
             # arbitrary-rate msresamp): only the first n_valid samples of

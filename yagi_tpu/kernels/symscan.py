@@ -1,0 +1,169 @@
+"""Fused Pallas symbol-synchronizer scan (symsync.rs:230-266 semantics).
+
+The XLA lax.scan formulation of the symsync feedback loop executes each
+while-body op as an individually dispatched vector instruction on this
+toolchain (~100 ns/op measured — kernels/ROOFLINE.md round-4 notes), which
+caps the loop at ~75 Msps aggregate regardless of channel count. This
+kernel fuses the ENTIRE per-sample control loop — one-hot branch select,
+first-order loop filter, timing update, bounded emission unroll — into one
+Mosaic program: the all-branch MF/dMF precompute streams through VMEM in
+time tiles (auto-pipelined BlockSpec grid), and the loop state rides a VMEM
+scratch across the sequential grid steps (select-against-init on step 0; a
+`pl.when`-guarded init crashes this toolchain's lowering, plain select does
+not — measured round 4, /tmp/tpuq jobs 59/60).
+
+Mosaic-survival layout rules applied here (kernels/ROOFLINE.md):
+* input lanes pre-packed to EXACTLY 128: x[t] is one (C, 128) tile whose
+  lane groups are [re·mf | re·dmf | im·mf | im·dmf] × P=32;
+* no in-kernel stack/concat — state rows load/store individually;
+* integer iota only (f32 iota is rejected), branch index kept in f32
+  (exact for its small-int range; no in-kernel uint ops).
+
+Math is identical to `filter/symsync._emit_sample` (same op order, f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["symsync_scan", "pallas_ok"]
+
+_NSTATE = 16  # state rows (9 used, padded to a sublane multiple)
+
+
+def pallas_ok(batch_shape: tuple, n: int, npfb: int) -> bool:
+    """Shapes the kernel path supports: 1-D channel batch, lane-aligned."""
+    return (
+        len(batch_shape) == 1
+        and batch_shape[0] % 128 == 0
+        and npfb == 32
+        and n % 8 == 0
+    )
+
+
+def _kernel(x_ref, vf_ref, init_ref, const_ref, y_ref, st_ref,
+            state_scratch, *, P: int, E: int, k_out: int):
+    i = pl.program_id(0)
+    first = i == 0
+
+    locked = const_ref[0]
+    radj = const_ref[1]
+    pa1 = const_ref[2]
+    pb0 = const_ref[3]
+    kf_inv = const_ref[4]
+
+    C = x_ref.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (C, P), 1).astype(jnp.float32)
+    Tt = x_ref.shape[0]
+
+    def body(t, carry):
+        (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1) = carry
+        vs = vf_ref[t] > 0.5
+        row = x_ref[t]  # [C, 128]: [re·mf | re·dmf | im·mf | im·dmf]
+        mr_t = row[:, 0 * P : 1 * P]
+        dr_t = row[:, 1 * P : 2 * P]
+        mi_t = row[:, 2 * P : 3 * P]
+        di_t = row[:, 3 * P : 4 * P]
+
+        for e in range(E):
+            active = (b < P) & vs
+            bb = jnp.clip(b, 0.0, P - 1.0)
+            oh = (bb[:, None] == iota).astype(jnp.float32)  # [C, P]
+            mr = jnp.sum(oh * mr_t, axis=-1)
+            mi = jnp.sum(oh * mi_t, axis=-1)
+            dr = jnp.sum(oh * dr_t, axis=-1)
+            di = jnp.sum(oh * di_t, axis=-1)
+
+            if k_out == 1:
+                do_t = (dec == 1.0) & active & (locked < 0.5)
+            else:
+                do_t = (dec == float(k_out)) & active & (locked < 0.5)
+                dec = jnp.where((dec == float(k_out)) & active, 0.0, dec)
+
+            q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
+            v0 = q - pa1 * pv0
+            q_hat = pb0 * v0
+            rate_new = rate + radj * q_hat
+            delta_new = rate_new + q_hat
+
+            pv1 = jnp.where(do_t, pv0, pv1)
+            pv0 = jnp.where(do_t, v0, pv0)
+            rate = jnp.where(do_t, rate_new, rate)
+            delta = jnp.where(do_t, delta_new, delta)
+            tau_d = jnp.where(do_t, tau, tau_d)
+
+            if k_out == 1:
+                dec = jnp.where(active, 1.0, dec)
+            else:
+                dec = jnp.where(active, dec + 1.0, dec)
+            tau = jnp.where(active, tau + delta, tau)
+            bf = jnp.where(active, tau * P, bf)
+            b = jnp.where(active, jnp.round(bf), b)
+            af = active.astype(jnp.float32)
+            # grouped rows [yr slots | yi slots | valid slots] (XLA layout)
+            y_ref[t, e] = af * mr * kf_inv
+            y_ref[t, E + e] = af * mi * kf_inv
+            y_ref[t, 2 * E + e] = af
+
+        vsf = vs.astype(jnp.float32)
+        tau = tau - vsf
+        bf = bf - vsf * P
+        b = b - vsf * P
+        return (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1)
+
+    carry0 = tuple(
+        jnp.where(first, init_ref[r], state_scratch[r]) for r in range(9)
+    )
+    carry = jax.lax.fori_loop(0, Tt, body, carry0)
+    for r in range(9):
+        state_scratch[r] = carry[r]
+        st_ref[r] = carry[r]
+
+
+def symsync_scan(xs4t, vf, state16, consts, *, P: int, E: int, k_out: int,
+                 tile: int = 0, interpret: bool = False):
+    """Run the fused scan.
+
+    ``xs4t``: [n, C, 4P] f32 time-major all-branch outputs, lane groups
+    [re·mf | re·dmf | im·mf | im·dmf]; ``vf``: [n, C] f32 valid-prefix
+    flags (1.0 = consume); ``state16``: [16, C] f32 rows (b, bf, tau,
+    tau_d, rate, delta, dec, pv0, pv1, pad…); ``consts``: [8, C] f32 rows
+    (locked, radj, pa1, pb0, 1/k, pad…). Returns ``(ys [n, 3E, C],
+    state' [16, C])``.
+    """
+    n, C, _ = xs4t.shape
+    if tile <= 0:
+        # largest divisor of n under the ~8 MB double-buffer budget
+        target = max(8, int(8e6 // (C * 4 * P * 4)))
+        tile = 8
+        for cand in range(8, min(n, target) + 1, 8):
+            if n % cand == 0:
+                tile = cand
+    grid = n // tile
+    kern = functools.partial(_kernel, P=P, E=E, k_out=k_out)
+    ys, st = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, C, 4 * P), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, C), lambda i: (i, 0)),
+            pl.BlockSpec((_NSTATE, C), lambda i: (0, 0)),
+            pl.BlockSpec((8, C), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 3 * E, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((_NSTATE, C), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 3 * E, C), jnp.float32),
+            jax.ShapeDtypeStruct((_NSTATE, C), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((_NSTATE, C), jnp.float32)],
+        interpret=interpret,
+    )(xs4t, vf, state16, consts)
+    return ys, st

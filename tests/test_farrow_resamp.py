@@ -20,7 +20,8 @@ from yagi_tpu.filter._farrow_resamp import farrow_design_error_db
 
 from autotest import autotest
 
-RATES = [0.7153, 1.31719, 2.0013, 0.37, 0.9871, 3.14159]
+RATES = [0.7153, 0.37]
+RATES_SLOW = [1.31719, 2.0013, 0.9871, 3.14159]
 
 
 def _bandlimited(n, seed=0, fmax=0.23):
@@ -44,7 +45,9 @@ class TestFarrowResamp:
         # 1/256-branch rounding floor over the half-grid band
         assert farrow_design_error_db() < -50.0
 
-    @pytest.mark.parametrize("rate", RATES)
+    @pytest.mark.parametrize(
+        "rate", RATES + [pytest.param(r, marks=pytest.mark.slow)
+                         for r in RATES_SLOW])
     @autotest("resamp_crcf_baseline", param_map="rate→{rate}, interp=farrow")
     def test_schedule_bit_identical_values_close(self, rate):
         """Counts, phase, and window state match the u32 path exactly;

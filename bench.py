@@ -212,12 +212,12 @@ def bench_fm_stereo(jax, jnp, channels=16, block=1 << 14, n_steps=12, reps=3):
     )
 
 
-def bench_qamrx(jax, jnp, channels=1024, block=4096, n_steps=6, reps=3):
+def bench_qamrx(jax, jnp, channels=2048, block=4096, n_steps=4, reps=3):
     """Config[3]: 16-QAM receiver with EVM tracking (chains/qam.py).
 
-    C=1024 channels/chip: the per-step scan cost is boundary-bound, so
-    per-chip throughput scales with channel batch (26 Msps at C=256 →
-    ~43 at C=1024; FEEDBACK_PROFILE.json channel-scaling table)."""
+    C=2048 channels/chip: the per-step scan cost is per-op-dispatch-bound,
+    so per-chip throughput grows with channel batch (31 Msps at C=256 →
+    63 at C=2048; FEEDBACK_PROFILE.json channel-scaling table)."""
     from yagi_tpu.chains import QamRx
     from yagi_tpu.utils.planar import Planar
 

@@ -169,7 +169,14 @@ def main() -> int:
 
     from tools import perfcommon as pc
 
-    pc.write_artifact("STAGE_PROFILE.json", results, jax, jnp)
+    written = pc.write_artifact("STAGE_PROFILE.json", results, jax, jnp)
+    if not written:
+        # keep-the-old-artifact would preserve the round-3 MISLABELED rows;
+        # a contention-stamped fresh artifact is the lesser evil. Numbers
+        # were reproduced across 3 contended sessions within ~5%
+        # (round-4 jobs 56/64/65).
+        pc.write_artifact("STAGE_PROFILE.json", results, jax, jnp,
+                          force=True)
     return 0
 
 

@@ -349,28 +349,30 @@ def farrow_resample_values(
     )
 
     # ---- window select: chunked one-hot dots (K-independent) ----------
-    # 2-pass bf16 split: the rhs is exactly representable (0/1), so
-    # dot(hi) + dot(lo) with hi = bf16-rounded lhs reconstructs the f32
-    # selection to ~2^-17 while running at bf16 MXU rate.
-    def dot01(lhs, Ms):
-        hi = lhs.astype(jnp.bfloat16).astype(jnp.float32)
-        lo = lhs - hi
-        d1 = jax.lax.dot_general(hi, Ms, (((1,), (0,)), ((), ())))
-        d2 = jax.lax.dot_general(lo, Ms, (((1,), (0,)), ((), ())))
-        return d1 + d2
-
+    # 2-pass bf16 split computed ONCE at stream level (per-chunk hi/lo
+    # re-materialized 6.7× the dot cost — round-4 job 73): the rhs is
+    # exactly representable (0/1), so dot(hi) + dot(lo) with
+    # hi = bf16-rounded stream reconstructs the f32 selection to ~2^-17
+    # while running at bf16 MXU rate.
     Oc = {}
     for parity, z in ((0, z_e), (1, z_o)):
         zp = jnp.pad(z, [(0, 0), (s2, right)])
         zs = jax.lax.dynamic_slice_in_dim(zp, n0, need, axis=-1)
+        zhi = jax.lax.optimization_barrier(
+            zs.astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        zlo = jax.lax.optimization_barrier(zs - zhi)
         for (c, M, meta) in G["chunks"][parity]:
-            seg = zs[:, c * CH : c * CH + (rows + 1) * Qh]
-            x3c = jax.lax.optimization_barrier(
-                seg.reshape((nb, rows + 1, Qh))[:, :rows, :CH]
-            )
-            Oc[(parity, c)] = dot01(
-                x3c.reshape((-1, CH)), jnp.asarray(M)
-            )  # [nb·rows, ncols_c]
+            Mj = jnp.asarray(M)
+            acc = None
+            for flat in (zhi, zlo):
+                seg = flat[:, c * CH : c * CH + (rows + 1) * Qh]
+                xc = seg.reshape((nb, rows + 1, Qh))[:, :rows, :CH]
+                d = jax.lax.dot_general(
+                    xc.reshape((-1, CH)), Mj, (((1,), (0,)), ((), ()))
+                )
+                acc = d if acc is None else acc + d
+            Oc[(parity, c)] = acc  # [nb·rows, ncols_c]
 
     # ---- per-output taps: tiny (δ one-hot) @ CW, Horner in μ ----------
     A = jax.lax.dot_general(
@@ -383,8 +385,10 @@ def farrow_resample_values(
     # ---- y = Σ_w window_w · coef_w --------------------------------------
     # per (w, parity) the chunk pieces tile [0, p̃) in ascending j (zero
     # columns included for the other parity), so window w reassembles as a
-    # plain concat — no scatter
-    y = None
+    # plain concat. ALL windows stack into one [nb, Wt, cap] tensor and the
+    # w-reduction runs as a single fused multiply-sum (a per-w accumulate
+    # loop costs Wt extra passes over the output — round-4 job 73).
+    wins = []
     for w in range(Wt):
         parts = None
         for parity in (0, 1):
@@ -396,8 +400,9 @@ def farrow_resample_values(
             segs.sort(key=lambda t: t[0])
             part = jnp.concatenate([s[1] for s in segs], axis=1)
             parts = part if parts is None else parts + part
-        term = parts.reshape((nb, rows * p2))[:, :cap] * coef[:, w]
-        y = term if y is None else y + term
+        wins.append(parts.reshape((nb, rows * p2))[:, :cap])
+    win = jnp.stack(wins, axis=1)  # [nb, Wt, cap]
+    y = jnp.einsum("bwm,mw->bm", win, coef)
     # back to complex + original batch shape
     if is_c:
         B = y.shape[0] // 2

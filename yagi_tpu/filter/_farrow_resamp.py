@@ -385,10 +385,11 @@ def farrow_resample_values(
     # ---- y = Σ_w window_w · coef_w --------------------------------------
     # per (w, parity) the chunk pieces tile [0, p̃) in ascending j (zero
     # columns included for the other parity), so window w reassembles as a
-    # plain concat. ALL windows stack into one [nb, Wt, cap] tensor and the
-    # w-reduction runs as a single fused multiply-sum (a per-w accumulate
-    # loop costs Wt extra passes over the output — round-4 job 73).
-    wins = []
+    # plain concat — no scatter. (A/B'd round 4: stacking all windows into
+    # one [nb, Wt, cap] tensor + a single reduce measured ~20% SLOWER than
+    # this accumulate loop, and einsum "bwm,mw->bm" hits the wide-batch
+    # dot pathology — job 80.)
+    y = None
     for w in range(Wt):
         parts = None
         for parity in (0, 1):
@@ -400,9 +401,8 @@ def farrow_resample_values(
             segs.sort(key=lambda t: t[0])
             part = jnp.concatenate([s[1] for s in segs], axis=1)
             parts = part if parts is None else parts + part
-        wins.append(parts.reshape((nb, rows * p2))[:, :cap])
-    win = jnp.stack(wins, axis=1)  # [nb, Wt, cap]
-    y = jnp.einsum("bwm,mw->bm", win, coef)
+        term = parts.reshape((nb, rows * p2))[:, :cap] * coef[:, w]
+        y = term if y is None else y + term
     # back to complex + original batch shape
     if is_c:
         B = y.shape[0] // 2

@@ -188,10 +188,11 @@ CASES = {
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-@autotest("resamp_crcf_copy", "symsync_copy", "agc_crcf_copy", "nco_copy",
-          "eqlms_copy", "firfilt_copy", "iirfilt_copy", "spgram_copy",
-          "firpfbch_copy", "fskdem_copy", "freqdem_copy",
-          param_map="per-type mid-stream clone → serialize/restore")
+@autotest("resamp_crcf_copy", "symsync_copy", "agc_crcf_copy",
+          "nco_crcf_copy", "eqlms_cccf_copy", "eqrls_rrrf_copy",
+          "firfilt_crcf_copy", "iirfilt_copy_tf", "iirfiltsos_copy",
+          "spgramcf_copy", "firpfbch2_crcf_copy", "fskdem_copy",
+          "gmskdem_copy", "msresamp2_copy", "resamp2_copy")
 def test_checkpoint_roundtrip(tmp_path, name):
     """Run N, save to disk, restore into a fresh object, run M: outputs and
     final state must be bit-identical to the uninterrupted run."""

@@ -48,7 +48,7 @@ class TestFarrowResamp:
     @pytest.mark.parametrize(
         "rate", RATES + [pytest.param(r, marks=pytest.mark.slow)
                          for r in RATES_SLOW])
-    @autotest("resamp_crcf_baseline", param_map="rate→{rate}, interp=farrow")
+    @autotest("resamp_crcf_00")
     def test_schedule_bit_identical_values_close(self, rate):
         """Counts, phase, and window state match the u32 path exactly;
         values within the quantization floor."""
@@ -97,7 +97,7 @@ class TestFarrowResamp:
         assert snr > 42.0, snr
 
     @pytest.mark.parametrize("rate", [0.37, 2.5, 0.9871])
-    @autotest("msresamp_crcf", param_map="rate→{rate}, interp=farrow")
+    @autotest("msresamp_crcf_01")
     def test_msresamp_farrow(self, rate):
         """Full composite resampler with the farrow arbitrary stage."""
         x = _bandlimited(4096, seed=int(rate * 7), fmax=0.2)

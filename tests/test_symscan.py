@@ -33,7 +33,7 @@ def _sig(n=N, seed=0):
 
 
 class TestSymscanKernel:
-    @autotest("symsync_crcf_scenario_0", param_map="pallas backend, C=128")
+    @autotest("symsync_crcf_scenario_0")
     def test_bit_exact_vs_xla(self):
         x = _sig()
         ya, va, sa = _mk().execute_slots(jnp.asarray(x), backend="xla")

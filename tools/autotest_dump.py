@@ -15,6 +15,9 @@ def pytest_collection_finish(session):
         for mark in item.iter_markers(name="autotest"):
             names = mark.kwargs.get("names") or mark.args
             param_map = mark.kwargs.get("param_map")
+            if not hasattr(param_map, "items"):
+                # free-text annotations (documentation-only) are not maps
+                param_map = None
             emitted = False
             if param_map:
                 callspec = getattr(item, "callspec", None)

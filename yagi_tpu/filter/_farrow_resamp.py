@@ -166,6 +166,33 @@ def periodic_grid(step_nom: int, cap: int):
 _COMBINED_CACHE: dict = {}
 
 
+_PICK_CACHE: dict = {}
+
+
+def pick_design(band_hz: float) -> tuple[int, int]:
+    """Smallest (T, K) whose LS design error beats −50 dB over the band.
+
+    Smaller T shrinks the window width Wt = T+D−1 and with it the dominant
+    window-assembly bandwidth (~Wt passes over the output stream). Band
+    here is the HALF-grid band (≤ 0.249), where T=8 often suffices for the
+    default fc=0.25 prototype.
+    """
+    key = round(band_hz, 3)
+    if key not in _PICK_CACHE:
+        choice = (12, 4)
+        for T in (8, 10, 12):
+            done = False
+            for K in (3, 4):
+                if farrow_design_error_db(T, K, band_hz) < -50.0:
+                    choice = (T, K)
+                    done = True
+                    break
+            if done:
+                break
+        _PICK_CACHE[key] = choice
+    return _PICK_CACHE[key]
+
+
 def combined_select_matrices(step_nom: int, cap: int, band_hz: float):
     """Host-built matrices folding the K+1 Farrow FIRs AND the periodic
     δ-window selection into ONE banded matmul per parity stream.
@@ -181,7 +208,8 @@ def combined_select_matrices(step_nom: int, cap: int, band_hz: float):
         return _COMBINED_CACHE[key]
     q2, p2, pat, ntil, d_lo, d_hi = periodic_grid(step_nom, cap)
     D = d_hi - d_lo + 1
-    C = farrow_coeffs(band=band_hz)
+    Tp, Kp = pick_design(band_hz)
+    C = farrow_coeffs(T=Tp, K=Kp, band=band_hz)
     T, K = C.shape[1], C.shape[0] - 1
     d_far = T // 2 - 1
     xi_min = d_lo - d_far

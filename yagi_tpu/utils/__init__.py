@@ -16,3 +16,9 @@ from .planar import (  # noqa: F401
     planar,
     planar_jit,
 )
+from .checkpoint import (  # noqa: F401
+    load_state,
+    save_state,
+    state_leaves,
+)
+from .compact import compact_valid  # noqa: F401

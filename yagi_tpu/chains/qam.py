@@ -67,6 +67,12 @@ class QamRx:
     # (should stay 0; nonzero flags a sustained timing-rate transient
     # exceeding the 25% headroom — see step())
     overflow_count: jnp.ndarray = struct.field()
+    # emission slots per input step in the fused scan (each slot carries a
+    # full eq/carrier update). 2 covers acquisition transients exactly;
+    # slots=1 halves the scan body but measurably defers during
+    # acquisition (overflow_count ≫ 0) — keep 2 unless the stream is known
+    # pre-locked
+    slots: int = struct.static_field(default=2)
 
     @classmethod
     def create(
@@ -80,6 +86,7 @@ class QamRx:
         eq_bw: float = 0.02,
         pll_bw: float = 0.02,
         batch_shape: tuple = (),
+        slots: int = 2,
     ) -> "QamRx":
         if k < 2:
             raise ConfigError("samples/symbol must be at least 2")
@@ -116,6 +123,7 @@ class QamRx:
             evm_accum=z,
             evm_count=z,
             overflow_count=jnp.zeros(batch_shape, dtype=jnp.int32),
+            slots=slots,
         )
 
     def reset(self) -> "QamRx":
@@ -174,7 +182,7 @@ class QamRx:
 
         x = jnp.asarray(x)
         n = x.shape[-1]
-        E = 2
+        E = self.slots
         S = 1 if samples_per_step is None else samples_per_step
         y0, agc = self.agc.execute_block(x)
         ss = self.symsync

@@ -417,6 +417,9 @@ def farrow_resample_values(
     # one [nb, Wt, cap] tensor + a single reduce measured ~20% SLOWER than
     # this accumulate loop, and einsum "bwm,mw->bm" hits the wide-batch
     # dot pathology — job 80.)
+    # accumulate at FULL rows·p̃ width (cap-slice once at the end — per-w
+    # odd-size slices block fusion); coef zero-padded to the full width
+    coef_pad = jnp.pad(coef, [(0, rows * p2 - cap), (0, 0)])
     y = None
     for w in range(Wt):
         parts = None
@@ -429,8 +432,9 @@ def farrow_resample_values(
             segs.sort(key=lambda t: t[0])
             part = jnp.concatenate([s[1] for s in segs], axis=1)
             parts = part if parts is None else parts + part
-        term = parts.reshape((nb, rows * p2))[:, :cap] * coef[:, w]
+        term = parts.reshape((nb, rows * p2)) * coef_pad[:, w]
         y = term if y is None else y + term
+    y = y[:, :cap]
     # back to complex + original batch shape
     if is_c:
         B = y.shape[0] // 2

@@ -145,10 +145,13 @@ def periodic_grid(step_nom: int, cap: int):
         d_lo = int((lo_v - ntil).min())
         d_hi = int((hi_v - ntil).max())
         D = d_hi - d_lo + 1
-        # select-matmul MACs/input ≈ (band/q̃)·p̃·D plus the D-wide one-hot
-        # downstream (both grow with D; a tight D beats a short period)
+        # select-matmul MACs/input ≈ (band/q̃)·p̃·D, plus the window
+        # ASSEMBLY traffic downstream which scales with Wt = T+D−1 per
+        # output and dominates the measured cost (round-4 job 86: ~90% of
+        # the pipeline) — weight D heavily so a deeper convergent with
+        # D=4 beats a shorter period with D=7
         band = q2 + D
-        cost = band * p2 * D / max(1, q2) + 10.0 * D
+        cost = band * p2 * D / max(1, q2) + 200.0 * D
         if best is None or cost < best[0]:
             best = (cost, q2, p2, pat, ntil, d_lo, d_hi)
     # the parity-split combined matmul needs an EVEN period in z2 positions

@@ -91,17 +91,6 @@ def farrow_design_error_db(T: int = _T, K: int = _K, band: float = _BAND) -> flo
     return 20.0 * np.log10(max(worst, 1e-300))
 
 
-def int_grid_taps(branches: np.ndarray) -> np.ndarray:
-    """Integer-grid prototype taps z-filter from the PFB branch matrix.
-
-    ``branches[b, j]`` are conv-order taps (branch b, frame position j reads
-    the j-th-oldest sample; the emission dot is Σ_j xa[n+j]·branches[b, L−1−j]
-    — resamp.py:296-302). Branch 0 IS the integer-offset sampling of the
-    continuous h, so z[i] = Σ_j xa[i+j]·branches[0, L−1−j].
-    """
-    return np.asarray(branches)[0]
-
-
 def periodic_grid(step_nom: int, cap: int):
     """PERIODIC static half-grid ñ_m ≈ (m·step_nom)>>23 + exact δ bounds.
 

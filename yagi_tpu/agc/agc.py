@@ -239,14 +239,17 @@ class Agc:
         Scan boundaries are planar f32 (xs split re/im, ys one packed f32
         array): the production TPU toolchain runs scans with complex or
         multi-array ys >1000× slow (kernels/ROOFLINE.md feedback-scan rules).
-        ``samples_per_step`` packs S samples into each scan step (default:
-        largest of 4/2/1 dividing the block) to amortize the ~1.5 µs
-        while-loop fixed cost per step.
+        ``samples_per_step`` packs S samples into each scan step (default 1;
+        S must divide the block length) to amortize the ~1.5 µs while-loop
+        fixed cost per step. Results are bit-identical for any S (samples
+        are applied sequentially within a step).
         """
         x = jnp.asarray(x)
         n = x.shape[-1]
         is_c = jnp.issubdtype(x.dtype, jnp.complexfloating)
         S = 1 if samples_per_step is None else samples_per_step
+        if n % S != 0:
+            raise ConfigError("samples_per_step must divide the block length")
         xt_r = jnp.moveaxis(jnp.real(x), -1, 0)
         xt_i = jnp.moveaxis(jnp.imag(x), -1, 0) if is_c else jnp.zeros_like(xt_r)
         # [n, ...] → [n/S, S, ...]

@@ -267,20 +267,6 @@ def combined_select_matrices(step_nom: int, cap: int, band_hz: float):
     return out
 
 
-def tail_capacity(step_nom: int) -> int:
-    """Emission slots that may need the exact gather form at the block tail.
-
-    The Farrow window needs up to ``lookahead = T − (T//2 − 1)`` future z
-    samples; emissions whose source index lies within that many samples of
-    the block end (plus the max entry offset n₀) fall back to the reference
-    dotprod. Bounded statically by the nominal emission density 2^24/step.
-    """
-    max_n0 = max(0, (step_nom - 1) >> 24) + 2
-    # farrow reach on the 2× grid = (T − d)/2 input samples
-    lookahead = (_T - (_T // 2 - 1)) // 2 + 3 + max_n0
-    return int(np.ceil(lookahead * (1 << 24) / max(1, step_nom))) + 2
-
-
 def farrow_resample_values(
     xa: jnp.ndarray,
     branches: jnp.ndarray,
@@ -433,20 +419,47 @@ def farrow_resample_values(
         y = jax.lax.complex(y[:B], y[B:])
     y = y.reshape(batch_shape + (cap,))
 
+    # ---- exact-dotprod head (farrow window would reach pre-block z) ----
+    # The window spans z2 positions [p_m − (T//2−1), …]; positions < 0 fall
+    # in the zero LEFT pad (true history z samples are not computed), so
+    # emissions with p_m ≤ T//2−1 — only possible while n_m is within a
+    # couple of samples of the block start — use the reference dotprod.
+    # (Visible as an elevated first-emission error on every block whose
+    # entry phase is nonzero; blocks at phase 0 hid it in the transient.)
+    head_lim = (T // 2) // 2 + 1
+    head_zone = n_m <= head_lim
+    hcap = min(cap, int((head_lim + 1) * (1 << 24) // step_nom) + 3)
+    if hcap > 0:
+        starts_h = jnp.clip(n_m[:hcap], 0, n - 1)
+        fidx_h = starts_h[:, None] + jnp.arange(L)
+        frames_h = xa[..., fidx_h]  # [..., hcap, L]
+        hb_h = jnp.take(branches, branch[:hcap], axis=0)
+        y_h = jnp.einsum(
+            "...cl,cl->...c", frames_h, hb_h[:, ::-1], precision=_PREC
+        )
+        pad_h = jnp.zeros(y.shape[:-1] + (cap - hcap,), y_h.dtype)
+        y_head_full = jnp.concatenate([y_h, pad_h], axis=-1)
+        y = jnp.where(head_zone, y_head_full, y)
+
     # ---- exact-dotprod tail (farrow window would need future inputs) ---
-    # Only the last tail_cap slots can have n_m ≥ n − lookahead − max_n0
-    # (n_m is nondecreasing; density bound in tail_capacity()).
-    tcap = min(cap, tail_capacity(step_nom))
-    sl = cap - tcap
-    starts_t = jnp.clip(n_m[sl:], 0, n - 1)
-    frame_idx = starts_t[:, None] + jnp.arange(L)
-    frames_t = xa[..., frame_idx]  # [..., tcap, L] — small traced gather
-    hb_t = jnp.take(branches, branch[sl:], axis=0)  # [tcap, L]
-    y_t = jnp.einsum(
-        "...cl,cl->...c", frames_t, hb_t[:, ::-1], precision=_PREC
-    )
+    # A slot is in the tail zone only when n_m ≥ n − lookahead − max_n0.
+    # Anchor the exact window to the EMISSION SCHEDULE, not the capacity:
+    # n_m ≤ entry_n0 + ((m·step)>>24) + 1 with entry_n0 ≤ max_n0, so the
+    # first slot index that can reach the zone is bounded host-side from
+    # the nominal step. (Anchoring to out_capacity zeroed valid tail
+    # emissions whenever capacity exceeded the emission count — ADVICE r4.)
     tail_zone = n_m >= (n - lookahead - max_n0)
-    pad_t = jnp.zeros(y.shape[:-1] + (sl,), y_t.dtype)
-    y_tail_full = jnp.concatenate([pad_t, y_t], axis=-1)
-    y = jnp.where(tail_zone, y_tail_full, y)
+    first = ((n - lookahead - 2 * max_n0 - 1) << 24) // step_nom - 4
+    sl = max(0, min(cap, first))
+    if sl < cap:
+        starts_t = jnp.clip(n_m[sl:], 0, n - 1)
+        frame_idx = starts_t[:, None] + jnp.arange(L)
+        frames_t = xa[..., frame_idx]  # [..., tcap, L] — small traced gather
+        hb_t = jnp.take(branches, branch[sl:], axis=0)  # [tcap, L]
+        y_t = jnp.einsum(
+            "...cl,cl->...c", frames_t, hb_t[:, ::-1], precision=_PREC
+        )
+        pad_t = jnp.zeros(y.shape[:-1] + (sl,), y_t.dtype)
+        y_tail_full = jnp.concatenate([pad_t, y_t], axis=-1)
+        y = jnp.where(tail_zone, y_tail_full, y)
     return jnp.where(valid, y, 0)

@@ -193,14 +193,20 @@ class Resamp:
         # re-established — but only when the current step is concrete and
         # still equals the create-time nominal step (field comment above).
         sched = self.exact_sched
+        cert = self.step_cert
         if sched is None and not isinstance(self.step, jax.core.Tracer):
             nominal_step = int(np.round((1 << 24) / self.nominal_rate))
             if int(np.asarray(self.step)) == nominal_step:
                 sched = _pq_of_step(nominal_step)
+                # the same concrete-step check re-certifies the farrow fast
+                # path (ADVICE r4: reset after a traced set_rate left it
+                # silently disabled)
+                cert = nominal_step
         return self.replace(
             phase=jnp.zeros_like(self.phase),
             window=jnp.zeros_like(self.window),
             exact_sched=sched,
+            step_cert=cert,
         )
 
     def set_rate(self, rate) -> "Resamp":
@@ -214,7 +220,12 @@ class Resamp:
             self._check_rate(float(rate))
             cert = int(np.round((1 << 24) / float(rate)))
         r = jnp.asarray(rate, dtype=jnp.float32)
-        step = jnp.round((1 << 24) / r).astype(jnp.uint32)
+        if cert is not None:
+            # concrete rate: same f64 rounding as create() (the f32 division
+            # below can differ by 1 ulp, silently desyncing step from cert)
+            step = jnp.asarray(np.uint32(cert))
+        else:
+            step = jnp.round((1 << 24) / r).astype(jnp.uint32)
         # a rate change at a (possibly) nonzero carried phase invalidates the
         # phase≡0 invariant of the static-schedule fast path
         return self.replace(rate=r, step=step, exact_sched=None, step_cert=cert)

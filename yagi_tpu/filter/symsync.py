@@ -431,9 +431,10 @@ class Symsync:
         MXU matmul (:meth:`branch_outputs_4xP`); the sequential lax.scan is a
         tiny gather-free control loop (one-hot branch select + biquad loop
         filter). ``samples_per_step`` input samples are packed into each scan
-        step (default: largest of 4/2/1 dividing the block) — the while-loop
+        step (default 1; S must divide the block length) — the while-loop
         fixed cost per step (~1.5 µs on this toolchain) dominates the body
-        work, so packing amortizes it across S samples.
+        work, so packing amortizes it across S samples. The per-sample slot
+        output is identical for any S.
 
         Scan-boundary dtype rules for the production TPU toolchain (measured,
         kernels/ROOFLINE.md "feedback-scan boundary rules"): complex or bool

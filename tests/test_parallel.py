@@ -15,6 +15,17 @@ from yagi_tpu.filter import FirFilter
 from yagi_tpu.parallel import make_stream_mesh, time_sharded_fir
 
 
+def _device_fm(y, kf):
+    """The sharded paths' elementwise FM discriminator, on one device —
+    lets the FM comparisons be exact instead of tolerance-based. ``ref``
+    is computed host-side in f64 exactly as parallel/channelizer.py does."""
+    ref = 1.0 / (2.0 * np.pi * kf)
+    return jax.jit(
+        lambda v: jnp.angle(jnp.conj(v[..., :-1]) * v[..., 1:])
+        * jnp.float32(ref)
+    )(y)
+
+
 @pytest.fixture(scope="module")
 def devices_ok():
     if len(jax.devices()) < 8:
@@ -160,11 +171,12 @@ class TestChannelRedistribution:
             )(jnp.asarray(x))
         )
         y_ref, _ = chz.analyzer_execute(jnp.asarray(x))
-        y_ref = np.asarray(y_ref)
-        m_ref = np.angle(np.conj(y_ref[:, :-1]) * y_ref[:, 1:]) / (2.0 * np.pi * kf)
+        # single-device reference via the SAME elementwise device formula
+        # as the sharded path — exact, not a host-f64 tolerance check
+        m_ref = np.asarray(_device_fm(jnp.asarray(y_ref), kf))
         # emits all T-1 discriminator samples; steps ≥ p are transient-free
         assert m_sh.shape == (M, T - 1)
-        np.testing.assert_allclose(m_sh[:, p:], m_ref[:, p:], rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(m_sh[:, p:], m_ref[:, p:])
 
 
 class TestPipelinedStream:
@@ -224,18 +236,13 @@ class TestPipelinedStream:
         )
         assert m_sh.shape == (B, M, T)
         y_ref, _ = chz.analyzer_execute(jnp.asarray(x.reshape(-1)))
-        y_ref = np.asarray(y_ref)
-        y_ext = np.concatenate(
-            [np.zeros((M, 1), np.complex64), y_ref], axis=-1
+        y_ext = jnp.concatenate(
+            [jnp.zeros((M, 1), jnp.complex64), jnp.asarray(y_ref)], axis=-1
         )
-        m_ref = np.angle(np.conj(y_ext[:, :-1]) * y_ext[:, 1:]) / (
-            2.0 * np.pi * kf
-        )
+        m_ref = np.asarray(_device_fm(y_ext, kf))
         m_ref = m_ref.reshape(M, B, T).transpose(1, 0, 2)
-        np.testing.assert_allclose(
-            m_sh[0][:, p + 1:], m_ref[0][:, p + 1:], rtol=0, atol=1e-5
-        )
-        np.testing.assert_allclose(m_sh[1:], m_ref[1:], rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(m_sh[0][:, p + 1:], m_ref[0][:, p + 1:])
+        np.testing.assert_array_equal(m_sh[1:], m_ref[1:])
 
     def test_pipeline_issue_order(self, devices_ok):
         """Structural overlap evidence on the traced program: inside the

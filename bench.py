@@ -317,7 +317,10 @@ def main() -> int:
     prev = None
     try:
         with open("BENCH_PREV.json") as f:
-            prev = json.load(f).get("value")
+            p = json.load(f)
+        # like-for-like only: never compare across precision modes
+        if p.get("mode", mode) == mode:
+            prev = p.get("value")
     except Exception:
         pass
     vs_baseline = (msps / prev) if prev else 1.0

@@ -60,3 +60,8 @@ def test_two_process_stream():
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
     assert "MULTIHOST_OK procs=2 devices=4 local=2" in outs[0], outs[0]
     assert "MULTIHOST_CHANNELIZER_OK M=64 T=96 procs=2" in outs[0], outs[0]
+    # the double-buffered pipelined stream (the structure the weak-scaling
+    # claim rests on) across the real 2-process DCN boundary, exact
+    assert "MULTIHOST_PIPELINED_STREAM_OK B=3 M=64 T=96 procs=2" in outs[0], (
+        outs[0]
+    )

@@ -187,7 +187,10 @@ CASES = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("name", [
+    n if n not in ("fm_stereo", "qamrx", "msresamp")
+    else pytest.param(n, marks=pytest.mark.slow)
+    for n in sorted(CASES)])
 @autotest("resamp_crcf_copy", "symsync_copy", "agc_crcf_copy",
           "nco_crcf_copy", "eqlms_cccf_copy", "eqrls_rrrf_copy",
           "firfilt_crcf_copy", "iirfilt_copy_tf", "iirfiltsos_copy",

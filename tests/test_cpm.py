@@ -52,6 +52,7 @@ class TestGmsk:
         y, _ = mod.modulate(bits)
         np.testing.assert_allclose(np.abs(np.asarray(y)), 1.0, atol=1e-5)
 
+    @pytest.mark.slow
     def test_block_split_invariance(self):
         """Streaming state carry: splitting the bit stream into blocks
         produces bit-identical samples to one contiguous call."""
@@ -191,6 +192,7 @@ class TestCpfsk:
         # total phase after 4 unit symbols = 4 * pi * 0.5
         np.testing.assert_allclose(th[-1], 4 * np.pi * 0.5, atol=1e-4)
 
+    @pytest.mark.slow
     def test_block_split_invariance(self):
         rng = np.random.default_rng(5)
         syms = rng.integers(0, 2, 96).astype(np.int32)

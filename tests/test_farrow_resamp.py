@@ -105,7 +105,8 @@ class TestFarrowResamp:
         assert snr > 42.0, snr
         assert np.abs(ref - got).max() < 0.04 * np.abs(ref).max()
 
-    @pytest.mark.parametrize("rate", [0.37, 2.5, 0.9871])
+    @pytest.mark.parametrize("rate", [0.37, 0.9871,
+        pytest.param(2.5, marks=pytest.mark.slow)])
     @autotest("msresamp_crcf_01")
     def test_msresamp_farrow(self, rate):
         """Full composite resampler with the farrow arbitrary stage."""
@@ -140,7 +141,8 @@ class TestFarrowResamp:
         assert r3.step_cert == nominal_cert
         assert r3.exact_sched == r.exact_sched
 
-    @pytest.mark.parametrize("rate", [0.37, 1.234])
+    @pytest.mark.parametrize("rate", [0.37,
+        pytest.param(1.234, marks=pytest.mark.slow)])
     def test_tail_full_range_any_capacity(self, rate):
         """Every valid emission — including the block tail, and with an
         oversized output capacity — matches the u32 path per-sample.

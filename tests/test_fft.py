@@ -141,6 +141,7 @@ class TestSpgram:
         want = np.maximum(np.roll(psd_ref, nfft // 2), 1e-12) / num_transforms
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-6)
 
+    @pytest.mark.slow
     def test_block_split_invariance(self):
         """Streaming in arbitrary block splits == one-shot processing."""
         rng = np.random.default_rng(7)

@@ -81,7 +81,9 @@ class TestResamp:
         assert len(y1) == len(y2)
         np.testing.assert_allclose(y1, y2, rtol=1e-4, atol=1e-5)
 
-    @pytest.mark.parametrize("rate", [2.0, 0.5, 1.0, 4.0 / 3.0, 8.0 / 5.0])
+    @pytest.mark.parametrize("rate", [2.0, 1.0] + [
+        pytest.param(r, marks=pytest.mark.slow)
+        for r in (0.5, 4.0 / 3.0, 8.0 / 5.0)])
     def test_static_sched_fast_path_matches_u32(self, rate):
         """The banded static-schedule fast path (P | 2^24, filter/_sched.py)
         equals the u32 gather path sample-for-sample and keeps num_output and
@@ -113,6 +115,7 @@ class TestResamp:
         )
         assert q2.exact_sched == (1, 2)
 
+    @pytest.mark.slow
     def test_get_num_output(self):
         q = Resamp.create(0.7, m=2, npfb=16)
         # replay must equal actual emission count
@@ -172,7 +175,9 @@ class TestResamp:
         with pytest.raises(ConfigError):
             Resamp.create(300.0)
 
-    @pytest.mark.parametrize("rate", [0.75, 1.0, 1.7, 2.0, 3.1])
+    @pytest.mark.parametrize("rate", [2.0] + [
+        pytest.param(r, marks=pytest.mark.slow)
+        for r in (0.75, 1.0, 1.7, 3.1)])
     def test_fused_mix_down_bit_identical(self, rate):
         """execute_block_mix_down == execute_block + mix_block_down_n exactly,
         including resampler phase and oscillator theta carry across blocks."""

@@ -16,7 +16,9 @@ from yagi_tpu.filter import AutoCorr, Dds, FirFarrow
 
 
 class TestFirFarrow:
-    @pytest.mark.parametrize("mu", [-0.4, -0.1, 0.0, 0.25, 0.45])
+    @pytest.mark.parametrize("mu", [-0.1, 0.25] + [
+        pytest.param(m, marks=pytest.mark.slow)
+        for m in (-0.4, 0.0, 0.45)])
     def test_fractional_delay_tone(self, mu):
         f = FirFarrow.create(17, 3, dtype=jnp.float32)
         t = np.arange(300, dtype=np.float32)
@@ -61,6 +63,7 @@ class TestAutoCorr:
         want = W * np.exp(2j * np.pi * f0 * d)
         assert abs(complex(np.asarray(r)[-1]) - want) < 1e-4
 
+    @pytest.mark.slow
     def test_block_split_invariance(self):
         rng = np.random.default_rng(1)
         x = (rng.normal(size=150) + 1j * rng.normal(size=150)).astype(np.complex64)
@@ -95,6 +98,7 @@ class TestDds:
         assert abs(fg[spec.argmax()] - (0.2 + 0.01 / 4)) < 0.005
 
     @autotest("dds_cccf_2", "dds_copy")
+    @pytest.mark.slow
     def test_roundtrip(self):
         dds = Dds.create(2, 0.15)
         xb = np.exp(2j * np.pi * 0.02 * np.arange(1024)).astype(np.complex64)

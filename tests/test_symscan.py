@@ -34,6 +34,7 @@ def _sig(n=N, seed=0):
 
 class TestSymscanKernel:
     @autotest("symsync_crcf_scenario_0")
+    @pytest.mark.slow
     def test_bit_exact_vs_xla(self):
         x = _sig()
         ya, va, sa = _mk().execute_slots(jnp.asarray(x), backend="xla")
@@ -55,6 +56,7 @@ class TestSymscanKernel:
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
         np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
 
+    @pytest.mark.slow
     def test_block_split_invariance(self):
         x = _sig(seed=2)
         s = _mk()

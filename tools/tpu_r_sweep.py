@@ -91,8 +91,9 @@ def main() -> int:
                      else "FAIL: " + type(e).__name__)
             results[f"r{r}"] = token
             print(f"r={r}: FAIL {str(e)[:100]}", file=sys.stderr, flush=True)
-    pathlib.Path("R_SWEEP.json").write_text(json.dumps(results, indent=1))
-    print("wrote R_SWEEP.json", file=sys.stderr)
+    from tools import perfcommon as pc
+
+    pc.write_artifact("R_SWEEP.json", results, jax=jax, jnp=jnp)
     return 0
 
 

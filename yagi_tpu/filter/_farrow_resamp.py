@@ -32,6 +32,10 @@ import numpy as np
 
 _PREC = jax.lax.Precision.HIGHEST
 
+# Select-matmul column layout: "emission" (j-major, dot outputs in output
+# order — round 5) with automatic fallback to "window" for tiny periods.
+_LAYOUT = "emission"
+
 # Farrow design: T taps, polynomial order K, fit band [0, _BAND] cycles/sample
 _T = 12
 _K = 4
@@ -185,17 +189,33 @@ def pick_design(band_hz: float) -> tuple[int, int]:
     return _PICK_CACHE[key]
 
 
-def combined_select_matrices(step_nom: int, cap: int, band_hz: float):
+def combined_select_matrices(step_nom: int, cap: int, band_hz: float,
+                             layout: str = "emission"):
     """Host-built matrices folding the K+1 Farrow FIRs AND the periodic
     δ-window selection into ONE banded matmul per parity stream.
 
-    Output column (j, k, di) of a period holds C_k's taps placed at z2
-    position pat[j] + d_lo + di + (t − T//2+1) + σ; even positions land in
-    G_e (read from the branch-0 stream), odd in G_o (branch-npfb/2
-    stream). σ (even) shifts all positions non-negative. Cached per
-    (step, cap, band).
+    Two column layouts (cached per (step, cap, band, layout)):
+
+    * ``"emission"`` (production, round 5): columns ordered j-major —
+      column (j, t) of a period selects the z2 sample at window position
+      w(j, t) = 2t + s_j of output slot j (s_j the parity offset), so the
+      chunk-dot outputs tile the [p2, Wh] output×window grid DIRECTLY in
+      emission order: the final combine is one fused multiply-reduce over
+      the window axis, with NO per-w reassembly of dot outputs (the per-w
+      concat loop was ~90% of the round-4 pipeline — ROOFLINE round-4 §).
+      Within a parity stream each output's window positions are CONSECUTIVE
+      rows (u(j, t) = u0_j + t), so chunks partition j-ranges with a
+      128-row anchor window.
+    * ``"window"`` (legacy/fallback): columns ordered (w, j) — used when
+      the per-output row span exceeds the chunk height (Wh > Qh, tiny
+      periods).
+
+    Output column (j, k, di)·window math: C_k's taps sit at z2 position
+    pat[j] + d_lo + di + (t − T//2+1) + σ; even positions land in G_e
+    (read from the branch-0 stream), odd in G_o (branch-npfb/2 stream).
+    σ (even) shifts all positions non-negative.
     """
-    key = (step_nom, cap, round(band_hz, 3))
+    key = (step_nom, cap, round(band_hz, 3), layout)
     if key in _COMBINED_CACHE:
         return _COMBINED_CACHE[key]
     q2, p2, pat, ntil, d_lo, d_hi = periodic_grid(step_nom, cap)
@@ -210,59 +230,90 @@ def combined_select_matrices(step_nom: int, cap: int, band_hz: float):
     xi_max = int(pat.max()) + d_hi + (T - 1 - d_far) + sigma
     He = xi_max // 2 + 1
     nov = -(-He // Qh)
-    # WINDOW selection (K-independent): column (w, j) of a period picks the
-    # z2 sample at pat[j] + d_lo + w − d̄ + σ (w ∈ [0, Wt), Wt = T+D−1) —
-    # one 0/1 matrix per parity stream. The Farrow taps for every output are
-    # then a SMALL per-output combination CW[δ, k·Wt + w] = C_k[w − δ+d_lo]
-    # applied in the output domain — the expensive select runs once, not
-    # once per polynomial stream. Column order (w, j) keeps every
-    # downstream slice contiguous (no sub-128 minor dims: TPU tiles pad
-    # the last two dims to (8,128); a [.., K+1, D] layout OOM'd 29×).
     Wt = T + D - 1
     W = Wt * p2
-    # CHUNKED one-hot select: each column has exactly ONE nonzero row, and
-    # within a w-block the row is monotone in j — so columns split into
-    # contiguous j-ranges per 128-row chunk, and each chunk's dot is a
-    # dense [.., 128]×[128, cols] matmul instead of a [.., Qh]-tall sparse
-    # one (Qh/128 ≈ 2-10× fewer wasted MACs). Per parity: a list of
-    # (chunk_row, matrix [128, ncols], pieces[(w, ja, jb, col_off)]).
     CH = min(128, Qh)
-    chunks = ([], [])  # per parity: [(chunk_row, M [CH, ncols], meta)]
-    for parity in (0, 1):
-        pieces = {}
-        for w in range(Wt):
-            base = d_lo + sigma - d_far + w
-            xi = pat + base  # [p2] z2 positions, monotone in j
-            hot = (xi % 2) == parity
-            u = np.maximum(0, (xi - parity) // 2)  # row in this stream
-            ch = u // CH
-            for c in np.unique(ch):
-                mask = ch == c
-                jj = np.nonzero(mask)[0]
-                ja, jb = int(jj[0]), int(jj[-1]) + 1  # contiguous (monotone)
-                pieces.setdefault(int(c), []).append(
-                    (w, ja, jb, u[ja:jb] - c * CH, hot[ja:jb])
-                )
-        for c in sorted(pieces):
-            plist = pieces[c]
-            ncols = sum(jb - ja for (_w, ja, jb, _u, _h) in plist)
-            M = np.zeros((CH, ncols), np.float32)
-            off = 0
-            meta = []
-            for (w, ja, jb, ulocal, hot_l) in plist:
-                idx = np.arange(jb - ja)
-                M[ulocal[hot_l], off + idx[hot_l]] = 1.0
-                meta.append((w, ja, jb, off))
-                off += jb - ja
-            chunks[parity].append((c, M, meta))
+    Wh = (Wt + 1) // 2
+    base0 = d_lo + sigma - d_far
+    if layout == "emission" and Wh > CH:
+        layout = "window"  # tiny periods: per-output span exceeds a chunk
+
+    chunks = None
+    echunks = None
+    sj_par = None
+    if layout == "emission":
+        # EMISSION-ORDER columns (j-major): within parity π, output slot j's
+        # window cells are w(j, t) = 2t + s_j (s_j ∈ {0,1} so the cell's z2
+        # parity is π), landing on CONSECUTIVE stream rows u(j, t) = u0_j + t.
+        # Chunks take j-ranges whose row span fits the CH-row anchor window;
+        # their dot outputs tile [p2, Wh] j-major, so the final combine is a
+        # single multiply-reduce against the window-coefficient grid.
+        echunks = []
+        sj_par = []
+        for parity in (0, 1):
+            s_j = (parity - (pat + base0)) % 2  # [p2]
+            u0 = (pat + base0 + s_j - parity) // 2  # [p2], nondecreasing
+            cl = []
+            ja = 0
+            while ja < p2:
+                a_c = int(u0[ja])
+                jb = ja + 1
+                while jb < p2 and int(u0[jb]) + Wh - a_c <= CH:
+                    jb += 1
+                M = np.zeros((CH, (jb - ja) * Wh), np.float32)
+                for j in range(ja, jb):
+                    w0 = int(s_j[j])
+                    tmax = min(Wh, (Wt - w0 + 1) // 2)
+                    rel = int(u0[j]) - a_c
+                    cols = (j - ja) * Wh + np.arange(tmax)
+                    M[rel + np.arange(tmax), cols] = 1.0
+                cl.append((a_c, M, (ja, jb)))
+                ja = jb
+            echunks.append(cl)
+            sj_par.append(s_j.astype(np.int32))
+    else:
+        # WINDOW-ORDER columns (w, j) — legacy layout. Column (w, j) picks
+        # the z2 sample at pat[j] + base0 + w; each column has exactly ONE
+        # nonzero row, monotone in j within a w-block, so columns split
+        # into contiguous j-ranges per 128-row chunk. Downstream the per-w
+        # output segments are reassembled by concat (the cost that the
+        # emission layout eliminates).
+        chunks = ([], [])  # per parity: [(chunk_row, M [CH, ncols], meta)]
+        for parity in (0, 1):
+            pieces = {}
+            for w in range(Wt):
+                xi = pat + base0 + w  # [p2] z2 positions, monotone in j
+                hot = (xi % 2) == parity
+                u = np.maximum(0, (xi - parity) // 2)  # row in this stream
+                ch = u // CH
+                for c in np.unique(ch):
+                    mask = ch == c
+                    jj = np.nonzero(mask)[0]
+                    ja, jb = int(jj[0]), int(jj[-1]) + 1  # contiguous
+                    pieces.setdefault(int(c), []).append(
+                        (w, ja, jb, u[ja:jb] - c * CH, hot[ja:jb])
+                    )
+            for c in sorted(pieces):
+                plist = pieces[c]
+                ncols = sum(jb - ja for (_w, ja, jb, _u, _h) in plist)
+                M = np.zeros((CH, ncols), np.float32)
+                off = 0
+                meta = []
+                for (w, ja, jb, ulocal, hot_l) in plist:
+                    idx = np.arange(jb - ja)
+                    M[ulocal[hot_l], off + idx[hot_l]] = 1.0
+                    meta.append((w, ja, jb, off))
+                    off += jb - ja
+                chunks[parity].append((c, M, meta))
     CW = np.zeros((D, (K + 1) * Wt), np.float32)
     for di in range(D):
         for k in range(K + 1):
             for t in range(T):
                 CW[di, k * Wt + (di + t)] = C[k][t]
     out = dict(q2=q2, p2=p2, pat=pat, ntil=ntil, d_lo=d_lo, d_hi=d_hi,
-               D=D, T=T, K=K, Wt=Wt, sigma=sigma, Qh=Qh, nov=nov, W=W,
-               CH=CH, chunks=chunks, CW=CW)
+               D=D, T=T, K=K, Wt=Wt, Wh=Wh, sigma=sigma, Qh=Qh, nov=nov,
+               W=W, CH=CH, layout=layout, chunks=chunks, echunks=echunks,
+               sj=sj_par, CW=CW)
     _COMBINED_CACHE[key] = out
     return out
 
@@ -297,7 +348,8 @@ def farrow_resample_values(
     # farrow operates on the 2×-OVERSAMPLED z grid (branch 0 + branch
     # npfb/2, parity-split), so its design band is half the signal band —
     # ≤ −55 dB for every legal prototype cutoff fc < 0.5
-    G = combined_select_matrices(step_nom, cap, min(0.249, band / 2.0))
+    G = combined_select_matrices(step_nom, cap, min(0.249, band / 2.0),
+                                 layout=_LAYOUT)
     p2, D, T, K, Wt = G["p2"], G["D"], G["T"], G["K"], G["Wt"]
     Qh, nov, sigma = G["Qh"], G["nov"], G["sigma"]
     d_lo, d_hi = G["d_lo"], G["d_hi"]
@@ -337,9 +389,13 @@ def farrow_resample_values(
     rows = -(-cap // p2)
     s2 = sigma // 2
     CH = G["CH"]
-    max_c = max((c for par in G["chunks"] for (c, _M, _m) in par),
-                default=0)
-    need = max_c * CH + (rows + 1) * Qh
+    if G["layout"] == "emission":
+        anchor_max = max(a for par in G["echunks"] for (a, _M, _r) in par)
+    else:
+        anchor_max = CH * max(
+            (c for par in G["chunks"] for (c, _M, _m) in par), default=0
+        )
+    need = anchor_max + (rows + 1) * Qh
     right = max(0, need + max_n0 - (z_e.shape[-1] + s2))
     nb = z_e.shape[0]  # 2B planar streams
 
@@ -354,32 +410,6 @@ def farrow_resample_values(
         2.0 ** -23
     )
 
-    # ---- window select: chunked one-hot dots (K-independent) ----------
-    # 2-pass bf16 split computed ONCE at stream level (per-chunk hi/lo
-    # re-materialized 6.7× the dot cost — round-4 job 73): the rhs is
-    # exactly representable (0/1), so dot(hi) + dot(lo) with
-    # hi = bf16-rounded stream reconstructs the f32 selection to ~2^-17
-    # while running at bf16 MXU rate.
-    Oc = {}
-    for parity, z in ((0, z_e), (1, z_o)):
-        zp = jnp.pad(z, [(0, 0), (s2, right)])
-        zs = jax.lax.dynamic_slice_in_dim(zp, n0, need, axis=-1)
-        zhi = jax.lax.optimization_barrier(
-            zs.astype(jnp.bfloat16).astype(jnp.float32)
-        )
-        zlo = jax.lax.optimization_barrier(zs - zhi)
-        for (c, M, meta) in G["chunks"][parity]:
-            Mj = jnp.asarray(M)
-            acc = None
-            for flat in (zhi, zlo):
-                seg = flat[:, c * CH : c * CH + (rows + 1) * Qh]
-                xc = seg.reshape((nb, rows + 1, Qh))[:, :rows, :CH]
-                d = jax.lax.dot_general(
-                    xc.reshape((-1, CH)), Mj, (((1,), (0,)), ((), ()))
-                )
-                acc = d if acc is None else acc + d
-            Oc[(parity, c)] = acc  # [nb·rows, ncols_c]
-
     # ---- per-output taps: tiny (δ one-hot) @ CW, Horner in μ ----------
     A = jax.lax.dot_general(
         oh, jnp.asarray(G["CW"]), (((1,), (0,)), ((), ()))
@@ -387,32 +417,90 @@ def farrow_resample_values(
     coef = A[:, K * Wt : (K + 1) * Wt]
     for k in range(K - 1, -1, -1):
         coef = coef * mu[:, None] + A[:, k * Wt : (k + 1) * Wt]
-
-    # ---- y = Σ_w window_w · coef_w --------------------------------------
-    # per (w, parity) the chunk pieces tile [0, p̃) in ascending j (zero
-    # columns included for the other parity), so window w reassembles as a
-    # plain concat — no scatter. (A/B'd round 4: stacking all windows into
-    # one [nb, Wt, cap] tensor + a single reduce measured ~20% SLOWER than
-    # this accumulate loop, and einsum "bwm,mw->bm" hits the wide-batch
-    # dot pathology — job 80.)
     # accumulate at FULL rows·p̃ width (cap-slice once at the end — per-w
     # odd-size slices block fusion); coef zero-padded to the full width
     coef_pad = jnp.pad(coef, [(0, rows * p2 - cap), (0, 0)])
-    y = None
-    for w in range(Wt):
-        parts = None
-        for parity in (0, 1):
-            segs = []
+
+    # ---- window select: chunked one-hot dots (K-independent) ----------
+    # 2-pass bf16 split computed ONCE at stream level (per-chunk hi/lo
+    # re-materialized 6.7× the dot cost — round-4 job 73): the rhs is
+    # exactly representable (0/1), so dot(hi) + dot(lo) with
+    # hi = bf16-rounded stream reconstructs the f32 selection to ~2^-17
+    # while running at bf16 MXU rate.
+    def stream_hi_lo(z):
+        zp = jnp.pad(z, [(0, 0), (s2, right)])
+        zs = jax.lax.dynamic_slice_in_dim(zp, n0, need, axis=-1)
+        zhi = jax.lax.optimization_barrier(
+            zs.astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        zlo = jax.lax.optimization_barrier(zs - zhi)
+        return zhi, zlo
+
+    def chunk_dot(zhi, zlo, anchor, M):
+        Mj = jnp.asarray(M)
+        acc = None
+        for flat in (zhi, zlo):
+            seg = flat[:, anchor : anchor + (rows + 1) * Qh]
+            xc = seg.reshape((nb, rows + 1, Qh))[:, :rows, :CH]
+            d_ = jax.lax.dot_general(
+                xc.reshape((-1, CH)), Mj, (((1,), (0,)), ((), ()))
+            )
+            acc = d_ if acc is None else acc + d_
+        return acc  # [nb·rows, ncols]
+
+    if G["layout"] == "emission":
+        # ---- y: dot outputs land in EMISSION ORDER ---------------------
+        # per parity the chunk outputs tile the [p2, Wh] output×window grid
+        # j-major; the combine is one fused multiply-reduce against the
+        # parity's window-coefficient grid (coef[m, 2t + s_j]) — no per-w
+        # reassembly (round-4's dominant cost, ~90% of the pipeline).
+        Wh = G["Wh"]
+        ce = coef_pad[:, 0::2]  # [rows·p2, Wh]   (w = 2t)
+        co = coef_pad[:, 1::2]  # [rows·p2, Wt//2] (w = 2t+1)
+        if co.shape[1] < Wh:
+            co = jnp.pad(co, [(0, 0), (0, Wh - co.shape[1])])
+        y = None
+        for parity, z in ((0, z_e), (1, z_o)):
+            zhi, zlo = stream_hi_lo(z)
+            outs = [
+                chunk_dot(zhi, zlo, a_c, M)
+                for (a_c, M, _jr) in G["echunks"][parity]
+            ]
+            O = jnp.concatenate(outs, axis=1)  # [nb·rows, p2·Wh]
+            O = O.reshape((nb, rows * p2, Wh))
+            sj = jnp.asarray(np.tile(G["sj"][parity], rows))[:, None]
+            cpi = jnp.where(sj == 1, co, ce)
+            term = jnp.sum(O * cpi[None], axis=-1)  # [nb, rows·p2]
+            y = term if y is None else y + term
+        y = y[:, :cap]
+    else:
+        # ---- legacy: window-order columns + per-w reassembly -----------
+        # (A/B'd round 4: stacking all windows into one [nb, Wt, cap]
+        # tensor + a single reduce measured ~20% SLOWER than this
+        # accumulate loop, and einsum "bwm,mw->bm" hits the wide-batch
+        # dot pathology — job 80.)
+        Oc = {}
+        for parity, z in ((0, z_e), (1, z_o)):
+            zhi, zlo = stream_hi_lo(z)
             for (c, M, meta) in G["chunks"][parity]:
-                for (pw, ja, jb, off) in meta:
-                    if pw == w:
-                        segs.append((ja, Oc[(parity, c)][:, off : off + jb - ja]))
-            segs.sort(key=lambda t: t[0])
-            part = jnp.concatenate([s[1] for s in segs], axis=1)
-            parts = part if parts is None else parts + part
-        term = parts.reshape((nb, rows * p2)) * coef_pad[:, w]
-        y = term if y is None else y + term
-    y = y[:, :cap]
+                Oc[(parity, c)] = chunk_dot(zhi, zlo, c * CH, M)
+        y = None
+        for w in range(Wt):
+            parts = None
+            for parity in (0, 1):
+                segs = []
+                for (c, M, meta) in G["chunks"][parity]:
+                    for (pw, ja, jb, off) in meta:
+                        if pw == w:
+                            segs.append(
+                                (ja, Oc[(parity, c)][:, off : off + jb - ja])
+                            )
+                segs.sort(key=lambda t: t[0])
+                part = jnp.concatenate([s[1] for s in segs], axis=1)
+                parts = part if parts is None else parts + part
+            term = parts.reshape((nb, rows * p2)) * coef_pad[:, w]
+            y = term if y is None else y + term
+        y = y[:, :cap]
     # back to complex + original batch shape
     if is_c:
         B = y.shape[0] // 2

@@ -142,6 +142,15 @@ def main() -> int:
         planar_jit(lambda r, v: r.execute_block(v)),
         n=32,
     )
+    # near-unity rate — the hard case for per-output window assembly
+    # (VERDICT r4 task 2: bar is >=700 Msps here, >=1 Gsps at 0.7153)
+    measure_safe(
+        "resamp_arb0.96796_farrow",
+        planar_jit(lambda: Resamp.create(0.96796, fc=0.45, interp="farrow",
+                                         batch_shape=(C,))),
+        planar_jit(lambda r, v: r.execute_block(v)),
+        n=32,
+    )
 
     # --- config[4] channelizer -------------------------------------------
     M, Tc = 64, 1 << 15

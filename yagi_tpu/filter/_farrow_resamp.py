@@ -260,12 +260,20 @@ def combined_select_matrices(step_nom: int, cap: int, band_hz: float,
                 jb = ja + 1
                 while jb < p2 and int(u0[jb]) + Wh - a_c <= CH:
                     jb += 1
-                M = np.zeros((CH, (jb - ja) * Wh), np.float32)
+                # columns W-MAJOR within the chunk (col = t·cj + (j−ja)):
+                # the dot output then reshapes to [.., Wh, cj] with Wh in
+                # SUBLANES, so concat along j tiles [.., Wh, p2] densely
+                # and the final combine multiply-reduce runs with the
+                # window axis in sublanes and the period axis in lanes —
+                # a [.., p2·Wh, Wh]-minor layout pads Wh to 128 lanes and
+                # 18×'s the combine traffic (round-5 regression fix)
+                cj = jb - ja
+                M = np.zeros((CH, Wh * cj), np.float32)
                 for j in range(ja, jb):
                     w0 = int(s_j[j])
                     tmax = min(Wh, (Wt - w0 + 1) // 2)
                     rel = int(u0[j]) - a_c
-                    cols = (j - ja) * Wh + np.arange(tmax)
+                    cols = np.arange(tmax) * cj + (j - ja)
                     M[rel + np.arange(tmax), cols] = 1.0
                 cl.append((a_c, M, (ja, jb)))
                 ja = jb
@@ -411,15 +419,37 @@ def farrow_resample_values(
     )
 
     # ---- per-output taps: tiny (δ one-hot) @ CW, Horner in μ ----------
-    A = jax.lax.dot_general(
-        oh, jnp.asarray(G["CW"]), (((1,), (0,)), ((), ()))
-    )  # [cap, (K+1)·Wt]
-    coef = A[:, K * Wt : (K + 1) * Wt]
-    for k in range(K - 1, -1, -1):
-        coef = coef * mu[:, None] + A[:, k * Wt : (k + 1) * Wt]
-    # accumulate at FULL rows·p̃ width (cap-slice once at the end — per-w
-    # odd-size slices block fusion); coef zero-padded to the full width
-    coef_pad = jnp.pad(coef, [(0, rows * p2 - cap), (0, 0)])
+    if G["layout"] == "emission":
+        # TRANSPOSED Horner: [Wt, cap] with the output axis in LANES —
+        # the [cap, Wt]-minor orientation pads Wt≈11 to 128 lanes and the
+        # combine would inherit the padding (round-5 regression fix)
+        ohT = (
+            jnp.arange(d_lo, d_hi + 1, dtype=jnp.int32)[:, None]
+            == delta[None, :]
+        ).astype(jnp.float32)  # [D, cap]
+        A_T = jax.lax.dot_general(
+            jnp.asarray(G["CW"].T), ohT, (((1,), (0,)), ((), ()))
+        )  # [(K+1)·Wt, cap]
+        coefT = A_T[K * Wt : (K + 1) * Wt]
+        for k in range(K - 1, -1, -1):
+            coefT = coefT * mu[None, :] + A_T[k * Wt : (k + 1) * Wt]
+        coefT_pad = jnp.pad(coefT, [(0, 0), (0, rows * p2 - cap)])
+        Wh = G["Wh"]
+        ceT = coefT_pad[0::2]  # [Wh, rows·p2]  (w = 2t)
+        coT = coefT_pad[1::2]  # [Wt//2, rows·p2] (w = 2t+1)
+        if coT.shape[0] < Wh:
+            coT = jnp.pad(coT, [(0, Wh - coT.shape[0]), (0, 0)])
+        coef_pad = None
+    else:
+        A = jax.lax.dot_general(
+            oh, jnp.asarray(G["CW"]), (((1,), (0,)), ((), ()))
+        )  # [cap, (K+1)·Wt]
+        coef = A[:, K * Wt : (K + 1) * Wt]
+        for k in range(K - 1, -1, -1):
+            coef = coef * mu[:, None] + A[:, k * Wt : (k + 1) * Wt]
+        # accumulate at FULL rows·p̃ width (cap-slice once at the end —
+        # per-w odd-size slices block fusion); coef zero-padded
+        coef_pad = jnp.pad(coef, [(0, rows * p2 - cap), (0, 0)])
 
     # ---- window select: chunked one-hot dots (K-independent) ----------
     # 2-pass bf16 split computed ONCE at stream level (per-chunk hi/lo
@@ -450,29 +480,27 @@ def farrow_resample_values(
 
     if G["layout"] == "emission":
         # ---- y: dot outputs land in EMISSION ORDER ---------------------
-        # per parity the chunk outputs tile the [p2, Wh] output×window grid
-        # j-major; the combine is one fused multiply-reduce against the
-        # parity's window-coefficient grid (coef[m, 2t + s_j]) — no per-w
+        # per parity the chunk outputs tile the [Wh, p2] window×output grid
+        # w-major (window axis in SUBLANES, period axis in LANES — dense);
+        # the combine is one fused multiply-reduce against the parity's
+        # window-coefficient grid (coef[m, 2t + s_j]) — no per-w
         # reassembly (round-4's dominant cost, ~90% of the pipeline).
-        Wh = G["Wh"]
-        ce = coef_pad[:, 0::2]  # [rows·p2, Wh]   (w = 2t)
-        co = coef_pad[:, 1::2]  # [rows·p2, Wt//2] (w = 2t+1)
-        if co.shape[1] < Wh:
-            co = jnp.pad(co, [(0, 0), (0, Wh - co.shape[1])])
         y = None
         for parity, z in ((0, z_e), (1, z_o)):
             zhi, zlo = stream_hi_lo(z)
             outs = [
-                chunk_dot(zhi, zlo, a_c, M)
+                chunk_dot(zhi, zlo, a_c, M).reshape((nb * rows, Wh, -1))
                 for (a_c, M, _jr) in G["echunks"][parity]
             ]
-            O = jnp.concatenate(outs, axis=1)  # [nb·rows, p2·Wh]
-            O = O.reshape((nb, rows * p2, Wh))
-            sj = jnp.asarray(np.tile(G["sj"][parity], rows))[:, None]
-            cpi = jnp.where(sj == 1, co, ce)
-            term = jnp.sum(O * cpi[None], axis=-1)  # [nb, rows·p2]
+            O4 = jnp.concatenate(outs, axis=-1).reshape(
+                (nb, rows, Wh, p2)
+            )
+            sjt = jnp.asarray(np.tile(G["sj"][parity], rows))  # [rows·p2]
+            cpiT = jnp.where(sjt[None, :] == 1, coT, ceT)  # [Wh, rows·p2]
+            cpi4 = jnp.swapaxes(cpiT.reshape((Wh, rows, p2)), 0, 1)
+            term = jnp.sum(O4 * cpi4[None], axis=-2)  # [nb, rows, p2]
             y = term if y is None else y + term
-        y = y[:, :cap]
+        y = y.reshape((nb, rows * p2))[:, :cap]
     else:
         # ---- legacy: window-order columns + per-w reassembly -----------
         # (A/B'd round 4: stacking all windows into one [nb, Wt, cap]

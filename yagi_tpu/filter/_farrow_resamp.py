@@ -488,17 +488,23 @@ def farrow_resample_values(
         y = None
         for parity, z in ((0, z_e), (1, z_o)):
             zhi, zlo = stream_hi_lo(z)
-            outs = [
-                chunk_dot(zhi, zlo, a_c, M).reshape((nb * rows, Wh, -1))
-                for (a_c, M, _jr) in G["echunks"][parity]
-            ]
-            O4 = jnp.concatenate(outs, axis=-1).reshape(
-                (nb, rows, Wh, p2)
-            )
             sjt = jnp.asarray(np.tile(G["sj"][parity], rows))  # [rows·p2]
             cpiT = jnp.where(sjt[None, :] == 1, coT, ceT)  # [Wh, rows·p2]
             cpi4 = jnp.swapaxes(cpiT.reshape((Wh, rows, p2)), 0, 1)
-            term = jnp.sum(O4 * cpi4[None], axis=-2)  # [nb, rows, p2]
+            # multiply-reduce PER CHUNK (before any concat): concatenating
+            # the [nb·rows, Wh, p2] grid first materializes ~145 MB per
+            # parity of dot outputs twice over — per-chunk reduction feeds
+            # only the [nb, rows, cj] results into the concat (measured
+            # 2.75 -> ~1.5 ms for the dots+combine stage at rate 0.96796)
+            terms = []
+            for (a_c, M, (ja, jb)) in G["echunks"][parity]:
+                O_c = chunk_dot(zhi, zlo, a_c, M).reshape(
+                    (nb, rows, Wh, jb - ja)
+                )
+                terms.append(
+                    jnp.sum(O_c * cpi4[None, :, :, ja:jb], axis=-2)
+                )
+            term = jnp.concatenate(terms, axis=-1)  # [nb, rows, p2]
             y = term if y is None else y + term
         y = y.reshape((nb, rows * p2))[:, :cap]
     else:

@@ -178,86 +178,147 @@ class QamRx:
         emission unroll and counted in ``chain.overflow_count``.
         """
         from ..filter.symsync import _emit_sample, _sym_carry, _sym_loop_params
-        from ..utils.planar import loop_constants, planarize, unplanarize
+        from ..utils.planar import loop_constants
 
         x = jnp.asarray(x)
         n = x.shape[-1]
+        bs = self.theta.shape
+        if len(bs) == 1 and 0 < bs[0] < 8:
+            # C < 8 lanes compiles the fused scan to near-scalar ops (C=1
+            # measured 151 ms/block vs 22 at C=4 — utils/smallbatch.py);
+            # run at 8 edge-replicated channels and slice back
+            from ..filter.symsync import _BATCH_FIELDS as _SS_F
+            from ..utils.smallbatch import pad_fields, take_fields
+
+            C, pad = bs[0], 8 - bs[0]
+            agc_f = ("g", "scale", "alpha", "y2_prime", "locked",
+                     "squelch_mode", "squelch_threshold", "squelch_timer")
+            eq_f = ("w", "buffer", "x2", "x2_sum", "count")
+            own_f = ("theta", "dtheta", "sym_phase", "evm_accum",
+                     "evm_count", "overflow_count")
+            padded = pad_fields(self, own_f, pad).replace(
+                agc=pad_fields(self.agc, agc_f, pad),
+                symsync=pad_fields(self.symsync, _SS_F, pad),
+                eq=pad_fields(self.eq, eq_f, pad),
+            )
+            xp = jnp.pad(x, [(0, pad), (0, 0)], mode="edge")
+            syms, soft, mask, new = padded.step_masked(
+                xp, samples_per_step=samples_per_step
+            )
+            new = take_fields(new, own_f, C).replace(
+                agc=take_fields(new.agc, agc_f, C),
+                symsync=take_fields(new.symsync, _SS_F, C),
+                eq=take_fields(new.eq, eq_f, C),
+            )
+            return syms[:C], soft[:C], mask[:C], new
         E = self.slots
         S = 1 if samples_per_step is None else samples_per_step
-        y0, agc = self.agc.execute_block(x)
+        # pack the AGC scan (bit-identical for any S — agc.py): its body is
+        # a handful of scalar ops, so the per-step fixed cost dominates at
+        # S=1 and packing 8 samples/step cuts the scan length 8x
+        s_agc = next(s for s in (8, 4, 2, 1) if n % s == 0)
+        y0, agc = self.agc.execute_block(x, samples_per_step=s_agc)
         ss = self.symsync
         kf = jnp.float32(ss.k)
         xs4, xa = ss.branch_outputs_4xP(y0)
-        # [n, 4, ..., P] → [n/S, S, 4, ..., P]; barrier: in-graph xs
+        # [n, 4, P, ...] → [n/S, S, 4, P, ...]; barrier: in-graph xs
         # otherwise get re-derived inside every loop iteration
         xs4 = jax.lax.optimization_barrier(
             xs4.reshape((n // S, S) + xs4.shape[1:])
         )
         sparams = _sym_loop_params(ss)
+        nbat = self.theta.ndim
+        h_len = self.eq.h_len
+        M = self.table.shape[0]
 
         # loop-invariant PLL gains and constellation planes materialized
         # outside the scan (in-body input-derived scalars get sunk into
-        # every iteration; utils.loop_constants)
+        # every iteration; utils.loop_constants). The constellation sits
+        # TRANSPOSED ([M, 1..]: points in sublanes, batch in lanes) like
+        # the eq state below.
         alpha_v, beta_v = loop_constants(self.alpha, self.beta, like=self.theta)
+        tshape = (M,) + (1,) * nbat
         table_r, table_i = jax.lax.optimization_barrier(
-            (jnp.real(self.table), jnp.imag(self.table))
+            (jnp.real(self.table).reshape(tshape),
+             jnp.imag(self.table).reshape(tshape))
         )
+        midx = jnp.arange(M, dtype=jnp.uint32).reshape(tshape)
 
         def eq_slot(carry, xi_r, xi_i, vi):
-            """One emission slot through eq + carrier PLL (masked on vi)."""
-            eq, theta, dtheta, sph, eacc, ecnt = carry
-            xi = jax.lax.complex(xi_r, xi_i)
-            eq_p = eq.push(xi)
-            y = eq_p.execute()
+            """One emission slot through eq + carrier PLL (masked on vi).
+
+            The eq state is carried TRANSPOSED ([h_len, *batch]: taps in
+            SUBLANES, batch in lanes) and planar: a [batch, h_len] layout
+            pads h_len=7 to 128 lanes, 18×-ing every in-loop eq op
+            (kernels/ROOFLINE.md round-5 notes). Math identical to
+            Eqlms.push/execute/step (eqlms.rs:125-187).
+            """
+            (br, bi, x2t, x2s, cnt, wr, wi,
+             theta, dtheta, sph, eacc, ecnt) = carry
+            # push (eqlms.rs:125): shift taps along the sublane axis
+            x2n = xi_r * xi_r + xi_i * xi_i
+            br_p = jnp.concatenate([br[1:], xi_r[None]], axis=0)
+            bi_p = jnp.concatenate([bi[1:], xi_i[None]], axis=0)
+            x2_p = jnp.concatenate([x2t[1:], x2n[None]], axis=0)
+            x2s_p = x2s + x2n - x2t[0]
+            cnt_p = cnt + 1
+            # execute (eqlms.rs:137): y = Σ conj(w)·buf
+            yr = jnp.sum(wr * br_p + wi * bi_p, axis=0)
+            yi = jnp.sum(wr * bi_p - wi * br_p, axis=0)
             is_sym = vi & (sph == 0)
             # gate adaptation on healthy buffer energy: the normalized-LMS
             # step divides by x2_sum, which explodes on the symsync warm-up
             # transient (liquid symtrack gates via acquire states instead)
-            can_adapt = is_sym & (eq_p.x2_sum > 0.5 * self.eq.h_len)
+            can_adapt = is_sym & (x2s_p > 0.5 * h_len)
 
-            vs = y * jnp.exp(-1j * theta).astype(y.dtype)
-            vs_r, vs_i = jnp.real(vs), jnp.imag(vs)
-            d2 = (vs_r[..., None] - table_r) ** 2 + (vs_i[..., None] - table_i) ** 2
-            s = jnp.argmin(d2, axis=-1).astype(jnp.uint32)
+            # carrier derotation vs = y·e^{−jθ}
+            co, sn = jnp.cos(theta), jnp.sin(theta)
+            vs_r = yr * co + yi * sn
+            vs_i = yi * co - yr * sn
+            d2 = (vs_r[None] - table_r) ** 2 + (vs_i[None] - table_i) ** 2
+            s = jnp.argmin(d2, axis=0).astype(jnp.uint32)
             # one-hot constellation select: per-channel dynamic gathers are
             # scalar-unit-bound on TPU (kernels/ROOFLINE.md)
-            oh = s[..., None] == jnp.arange(table_r.shape[0], dtype=jnp.uint32)
-            sr = jnp.sum(jnp.where(oh, table_r, 0), axis=-1)
-            si = jnp.sum(jnp.where(oh, table_i, 0), axis=-1)
-            shat = jax.lax.complex(sr, si)
+            oh = s[None] == midx
+            sr = jnp.sum(jnp.where(oh, table_r, 0), axis=0)
+            si = jnp.sum(jnp.where(oh, table_i, 0), axis=0)
 
             pe = (vs_i * sr - vs_r * si) / jnp.maximum(sr * sr + si * si, 1e-12)
             theta_n = theta + dtheta + alpha_v * pe
             dtheta_n = dtheta + beta_v * pe
-            d_train = shat * jnp.exp(1j * theta).astype(y.dtype)
-            eq_u = eq_p.step(d_train, y)
+            # training update (eqlms.rs:170-187) toward d = ŝ·e^{+jθ}:
+            # α = d − y;  w += μ·conj(α)·buf / max(Σ|x|², ε)
+            ar = (sr * co - si * sn) - yr
+            ai = (si * co + sr * sn) - yi
+            g = self.eq.mu / jnp.maximum(x2s_p, 1e-20)
+            wr_u = wr + g[None] * (ar[None] * br_p + ai[None] * bi_p)
+            wi_u = wi + g[None] * (ar[None] * bi_p - ai[None] * br_p)
 
-            # explicit per-field selects (cheaper than a generic tree_where
-            # over every leaf twice — scan-body op count is the measured
-            # bottleneck, kernels/ROOFLINE.md round 4): push() touches only
-            # buffer/x2/x2_sum/count (gated on vi), step() only w (gated on
-            # can_adapt)
-            vi_c = vi[..., None]
-            eq = eq.replace(
-                w=jnp.where(can_adapt[..., None], eq_u.w, eq.w),
-                buffer=jnp.where(vi_c, eq_p.buffer, eq.buffer),
-                x2=jnp.where(vi_c, eq_p.x2, eq.x2),
-                x2_sum=jnp.where(vi, eq_p.x2_sum, eq.x2_sum),
-                count=jnp.where(vi, eq_p.count, eq.count),
-            )
+            vi_t = vi[None]
+            adapt = can_adapt & (cnt_p >= h_len)  # eqlms.rs ready gate
+            ad_t = adapt[None]
+            br = jnp.where(vi_t, br_p, br)
+            bi = jnp.where(vi_t, bi_p, bi)
+            x2t = jnp.where(vi_t, x2_p, x2t)
+            x2s = jnp.where(vi, x2s_p, x2s)
+            cnt = jnp.where(vi, cnt_p, cnt)
+            wr = jnp.where(ad_t, wr_u, wr)
+            wi = jnp.where(ad_t, wi_u, wi)
             theta = jnp.where(can_adapt, theta_n, theta)
             dtheta = jnp.where(can_adapt, dtheta_n, dtheta)
             sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
-            eacc = jnp.where(can_adapt, eacc + jnp.abs(vs - shat) ** 2, eacc)
+            ev = (vs_r - sr) ** 2 + (vs_i - si) ** 2
+            eacc = jnp.where(can_adapt, eacc + ev, eacc)
             ecnt = jnp.where(can_adapt, ecnt + 1.0, ecnt)
             # per-slot f32 lanes: [sym, re(vs), im(vs), is_sym]
-            lanes = [s.astype(jnp.float32), jnp.real(vs), jnp.imag(vs),
+            lanes = [s.astype(jnp.float32), vs_r, vs_i,
                      is_sym.astype(jnp.float32)]
-            return (eq, theta, dtheta, sph, eacc, ecnt), lanes
+            carry = (br, bi, x2t, x2s, cnt, wr, wi,
+                     theta, dtheta, sph, eacc, ecnt)
+            return carry, lanes
 
         def body(carry, inp):
-            sym_c, eq_cp, ovf = carry
-            eq_c = unplanarize(eq_cp)
+            sym_c, eq_c, ovf = carry
             packs = []
             for s in range(S):
                 sym_c, slots, pending = _emit_sample(sparams, sym_c, inp[s], E, kf)
@@ -269,18 +330,30 @@ class QamRx:
                 ovf = ovf + pending.astype(jnp.int32)
                 packs.append(jnp.stack(lanes, axis=-1))  # [..., 4E]
             packed = jnp.stack(packs, axis=-2) if S > 1 else packs[0]
-            return (sym_c, planarize(eq_c), ovf), packed
+            return (sym_c, eq_c, ovf), packed
 
+        tp = lambda v: jnp.moveaxis(v, -1, 0)  # noqa: E731
         eq_carry0 = (
-            self.eq, self.theta, self.dtheta, self.sym_phase,
+            tp(jnp.real(self.eq.buffer)), tp(jnp.imag(self.eq.buffer)),
+            tp(self.eq.x2), self.eq.x2_sum, self.eq.count,
+            tp(jnp.real(self.eq.w)), tp(jnp.imag(self.eq.w)),
+            self.theta, self.dtheta, self.sym_phase,
             self.evm_accum, self.evm_count,
         )
-        carry0 = (_sym_carry(ss), planarize(eq_carry0),
+        carry0 = (_sym_carry(ss), eq_carry0,
                   jnp.zeros_like(self.overflow_count))
         carry, packed = jax.lax.scan(body, carry0, xs4, unroll=max(1, 4 // S))
-        sym_c, eq_cp, overflow = carry
-        (b, bf, tau, tau_d, rate, delta, dec, pv) = sym_c
-        eq, theta, dtheta, sph, eacc, ecnt = unplanarize(eq_cp)
+        sym_c, eq_c, overflow = carry
+        (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1) = sym_c
+        pv = jnp.stack([pv0, pv1], axis=-1)
+        (brf, bif, x2tf, x2sf, cntf, wrf, wif,
+         theta, dtheta, sph, eacc, ecnt) = eq_c
+        fp = lambda v: jnp.moveaxis(v, 0, -1)  # noqa: E731
+        eq = self.eq.replace(
+            buffer=jax.lax.complex(fp(brf), fp(bif)),
+            x2=fp(x2tf), x2_sum=x2sf, count=cntf,
+            w=jax.lax.complex(fp(wrf), fp(wif)),
+        )
 
         if S > 1:  # [n/S, ..., S, 4E] → [..., 2N, 4]
             packed = jnp.moveaxis(packed, 0, -3)

@@ -28,6 +28,20 @@ __all__ = ["Symsync"]
 
 _MAX_EMIT = 4  # emissions per input sample never exceed ceil(1/del)+1 ≤ 4 for k ≥ 2
 
+# all-branch precompute planes: 4 = (re·mf, im·mf, re·dmf, im·dmf) with the
+# timing error computed in-body; 3 = (re·mf, im·mf, q) with q folded outside
+# the scan. Interleaved same-session A/B on the real chip (round 5, C=1024):
+# 4-plane 101.9/78.1 Msps (symsync/QamRx) vs 3-plane 86.3/69.8 — the
+# 3-plane jnp.stack costs a full extra materialization pass of the
+# precompute that outweighs dropping two in-body multiplies. Keep 4.
+_PLANES = 4
+
+# batch-leading array fields (utils/smallbatch lane padding)
+_BATCH_FIELDS = (
+    "window", "b", "bf", "tau", "tau_decim", "rate", "delta", "q_err",
+    "q_hat", "decim_counter", "pll_v", "rate_adjustment", "locked",
+)
+
 
 def _auto_emit(k: int, k_out: int) -> int:
     """Designed per-sample emission capacity: ceil(1/δ_min)+1 slots for the
@@ -62,7 +76,11 @@ def _sym_loop_params(ss: "Symsync"):
     return dict(
         npfb=ss.npfb,
         k_out=ss.k_out,
-        pidx=jnp.arange(ss.npfb, dtype=jnp.int32),
+        # branch iota in P-MAJOR layout: [P, 1...] broadcasting against the
+        # [*batch]-shaped filterbank index (see _emit_sample layout note)
+        pidx=jnp.arange(ss.npfb, dtype=jnp.int32).reshape(
+            (ss.npfb,) + (1,) * ss.tau.ndim
+        ),
         locked=ss.locked,
         radj=ss.rate_adjustment,
         pa1=pa1, pb0=pb0,
@@ -70,16 +88,26 @@ def _sym_loop_params(ss: "Symsync"):
 
 
 def _sym_carry(ss: "Symsync"):
+    # pll_v is carried as TWO [*batch] vectors, not one [*batch, 2] array:
+    # a stacked minor-2 axis pads to 128 lanes on TPU (64x vreg waste on
+    # every in-loop update; kernels/ROOFLINE.md round-5 notes)
     return (ss.b, ss.bf, ss.tau, ss.tau_decim, ss.rate, ss.delta,
-            ss.decim_counter, ss.pll_v)
+            ss.decim_counter, ss.pll_v[..., 0], ss.pll_v[..., 1])
 
 
 def _emit_sample(params, carry, x4, E: int, kf, vs=None):
     """Process ONE input sample of the symsync control loop (symsync.rs:230-266).
 
-    ``x4``: [4, ..., P] all-branch filter outputs for this sample, planes
-    ordered (re·mf, im·mf, re·dmf, im·dmf) — ONE masked one-hot sum selects
-    all four at once. Returns ``(carry', slots, pending)`` with ``slots`` a
+    ``x4``: [_PLANES, P, *batch] all-branch filter outputs for this sample,
+    planes ordered (re·mf, im·mf, re·dmf, im·dmf) (or (re·mf, im·mf, q) in
+    the 3-plane variant — see ``_PLANES``). ONE masked one-hot sum selects
+    all planes at once. The P axis
+    sits in SUBLANES and the batch in lanes
+    (P-major): with the former [..., P]-minor layout every select op padded
+    P=32 to 128 lanes (4x vreg waste), and the padded all-branch stream was
+    4x the HBM traffic; P-major is dense and the sum over P lands directly
+    in the natural [*batch] layout (kernels/ROOFLINE.md round-5 notes).
+    Returns ``(carry', slots, pending)`` with ``slots`` a
     list of ``E`` tuples ``(yr, yi, active_f32)`` (matched-filter output / k
     and emission validity) and ``pending`` a bool flagging an E+1-th emission
     that would still be due this sample (deferred to the next input sample by
@@ -88,7 +116,7 @@ def _emit_sample(params, carry, x4, E: int, kf, vs=None):
     npfb = params["npfb"]
     pidx = params["pidx"]
     locked_f = params["locked"]
-    (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
+    (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1) = carry
     slots = []
     for _ in range(E):
         active = b < npfb
@@ -98,9 +126,13 @@ def _emit_sample(params, carry, x4, E: int, kf, vs=None):
             # pushed (window carry handled by the caller's dynamic slice)
             active = active & vs
         bb = jnp.clip(b, 0, npfb - 1)
-        oh = bb[..., None] == pidx  # one-hot branch select
-        sel = jnp.sum(jnp.where(oh, x4, 0), axis=-1)  # [4, ...]
-        mr, mi, dr, di = sel[0], sel[1], sel[2], sel[3]
+        oh = bb[None] == pidx  # one-hot branch select, [P, *batch]
+        sel = jnp.sum(jnp.where(oh[None], x4, 0), axis=1)  # [planes, *batch]
+        if x4.shape[0] == 4:  # legacy 4-plane stream (re·mf, im·mf, re·dmf, im·dmf)
+            mr, mi, dr, di = sel[0], sel[1], sel[2], sel[3]
+            q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
+        else:
+            mr, mi, q = sel[0], sel[1], sel[2]
 
         if params["k_out"] == 1:
             # statically elided counter: any active emission leaves dec = 1
@@ -111,17 +143,15 @@ def _emit_sample(params, carry, x4, E: int, kf, vs=None):
             do_timing = (dec == params["k_out"]) & active & (~locked_f)
             dec = jnp.where((dec == params["k_out"]) & active, 0, dec)
 
-        # Re(conj(mf)·dmf) = mr·dr + mi·di
-        q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
+        # q = clamp(Re(conj(mf)·dmf)) was folded into the precompute
         # DF2 loop filter, first-order by construction (see _sym_loop_params)
-        v1 = pv[..., 0]
-        v0 = q - params["pa1"] * v1
+        v0 = q - params["pa1"] * pv0
         q_hat = params["pb0"] * v0
-        pv_new = jnp.stack([v0, v1], axis=-1)
         rate_new = rate + params["radj"] * q_hat
         delta_new = rate_new + q_hat
 
-        pv = jnp.where(do_timing[..., None], pv_new, pv)
+        pv1 = jnp.where(do_timing, pv0, pv1)
+        pv0 = jnp.where(do_timing, v0, pv0)
         rate = jnp.where(do_timing, rate_new, rate)
         delta = jnp.where(do_timing, delta_new, delta)
         tau_d = jnp.where(do_timing, tau, tau_d)
@@ -150,7 +180,7 @@ def _emit_sample(params, carry, x4, E: int, kf, vs=None):
         tau = jnp.where(vs, tau - 1.0, tau)
         bf = jnp.where(vs, bf - npfb, bf)
         b = jnp.where(vs, b - npfb, b)
-    return (b, bf, tau, tau_d, rate, delta, dec, pv), slots, pending
+    return (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1), slots, pending
 
 
 @struct.pytree
@@ -242,6 +272,8 @@ class Symsync:
     @classmethod
     def create_rnyquist(cls, ftype, k: int, m: int, beta: float, num_filters: int = 32, **kw):
         """Root-Nyquist matched filter bank (symsync.rs:112-131)."""
+        if isinstance(ftype, str):
+            ftype = design.FirFilterShape.from_str(ftype)
         if k < 2:
             raise ConfigError("samples/symbol must be at least 2")
         if m == 0:
@@ -322,7 +354,7 @@ class Symsync:
 
     # ------------------------------------------------------------- streaming
     def branch_outputs_4xP(self, x):
-        """All-branch MF/dMF outputs for a block, time-major [n, 4, ..., P].
+        """All-branch MF/dMF outputs, P-MAJOR [n, _PLANES, P, *batch].
 
         The PFB window contents don't depend on the timing feedback — only
         the branch *selection* does — so all-branch matched / derivative
@@ -330,7 +362,13 @@ class Symsync:
         (multi_branch_conv_tm_pre against the prebuilt ``bank_g``). The banks
         are REAL taps, so re/im planes filter independently; planes come out
         ordered (re·mf, im·mf, re·dmf, im·dmf) so the scan body selects all
-        four with a single one-hot masked sum. Returns ``(xs4, xa)``.
+        four with a single one-hot masked sum (q = clamp(Re(mf*·dmf))
+        computed in-body; the 3-plane precomputed-q variant measured slower,
+        see ``_PLANES``). The branch axis P sits in
+        SUBLANES with the batch in lanes: a [..., P]-minor layout pads P=32
+        to 128 lanes, 4x-ing both the vreg count of every in-loop select op
+        and the HBM stream of the materialized precompute (ROOFLINE round-5
+        notes). Returns ``(xs, xa)``.
         """
         x = jnp.asarray(x, dtype=self.window.dtype)
         xa = jnp.concatenate([self.window, x], axis=-1)
@@ -338,13 +376,20 @@ class Symsync:
 
         P = self.npfb
         planes = jnp.stack([jnp.real(xa[..., 1:]), jnp.imag(xa[..., 1:])])
-        # [2, ..., n, 2P] → time-major [n, 2, ..., 2P] → [n, 4, ..., P]
+        # [2, *batch, n, 2P] → [n, 2, 2P, *batch] → [n, 3, P, *batch]
         ytm = multi_branch_conv_tm_pre(
             planes, self.bank_g, 2 * P, self.mf.shape[1]
         )
-        xs_all = jnp.moveaxis(ytm, -2, 0)
-        xs4 = jnp.concatenate([xs_all[..., :P], xs_all[..., P:]], axis=1)
-        return xs4, xa
+        nb = ytm.ndim - 3  # batch rank
+        perm = (nb + 1, 0, nb + 2) + tuple(range(1, nb + 1))
+        t = jnp.transpose(ytm, perm)
+        if _PLANES == 4:  # A/B switch: stream dMF planes, q in-body
+            return jnp.concatenate([t[:, :, :P], t[:, :, P:]], axis=1), xa
+        mr, dr = t[:, 0, :P], t[:, 0, P:]
+        mi, di = t[:, 1, :P], t[:, 1, P:]
+        q = jnp.clip(mr * dr + mi * di, -1.0, 1.0)
+        xs3 = jnp.stack([mr, mi, q], axis=1)
+        return xs3, xa
 
     def _execute_slots_pallas(self, x, E: int, n_valid, interpret: bool):
         """Fused-kernel route (kernels/symscan.py): the whole control loop
@@ -372,8 +417,9 @@ class Symsync:
         ytm = multi_branch_conv_tm_pre(
             planes, self.bank_g, 2 * P, self.mf.shape[1]
         )  # [2, C, n, 2P] (lanes = [mf | dmf] per plane)
-        # [n, C, 4P]: lane groups [re·mf | re·dmf | im·mf | im·dmf]
-        xs4t = jnp.transpose(ytm, (2, 1, 0, 3)).reshape((n, C, 4 * P))
+        # P-MAJOR [n, 4P, C]: sublane groups [re·mf | re·dmf | im·mf | im·dmf]
+        # with channels in lanes (kernels/symscan.py layout note)
+        xs4t = jnp.transpose(ytm, (2, 0, 3, 1)).reshape((n, 4 * P, C))
 
         f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
         state16 = jnp.concatenate([
@@ -449,16 +495,37 @@ class Symsync:
         S = 1 if samples_per_step is None else samples_per_step
         if n % S != 0:
             raise ConfigError("samples_per_step must divide the block length")
-        if backend == "pallas" and S == 1:
-            # EXPERIMENTAL: bit-exact on-chip (round-4 job 63) but currently
-            # 0.55x the XLA scan — the (C, 32)-lane one-hot ops need Mosaic
-            # layout work before this can be the default (ROOFLINE round 4).
+        bs = self.b.shape
+        if len(bs) == 1 and 0 < bs[0] < 8:
+            # C < 8 lanes compiles the scan body to near-scalar ops (C=1
+            # measured 6x the C=4 latency — utils/smallbatch.py); run at 8
+            # edge-replicated channels and slice back
+            from ..utils.smallbatch import pad_fields, take_fields
+
+            C = bs[0]
+            padded = pad_fields(self, _BATCH_FIELDS, 8 - C)
+            xp = jnp.pad(x, [(0, 8 - C), (0, 0)], mode="edge")
+            y, v, new = padded.execute_slots(
+                xp, samples_per_step=samples_per_step, max_emit=max_emit,
+                n_valid=n_valid, backend=backend,
+            )
+            return y[:C], v[:C], take_fields(new, _BATCH_FIELDS, C)
+        if backend in ("auto", "pallas") and S == 1:
+            # Fused Mosaic scan: bit-exact on-chip and, with the round-5
+            # P-major + combined-select layout, slightly ahead of the XLA
+            # scan (105.8 vs 101.5 Msps, C=1024 — ROOFLINE round 5), so
+            # "auto" picks it on real TPU for supported shapes. On other
+            # backends "auto" stays with the XLA scan; backend="pallas"
+            # forces the kernel (interpret mode off-TPU, for tests).
             from ..kernels.symscan import pallas_ok
 
             plat = jax.devices()[0].platform
-            if pallas_ok(tuple(self.b.shape), n, self.npfb):
+            on_tpu = plat in ("tpu", "axon")
+            if (backend == "pallas" or on_tpu) and pallas_ok(
+                tuple(self.b.shape), n, self.npfb
+            ):
                 return self._execute_slots_pallas(
-                    x, E, n_valid, interpret=plat not in ("tpu", "axon")
+                    x, E, n_valid, interpret=not on_tpu
                 )
         if n_valid is not None:
             # valid-prefix streaming (variable-rate upstream, e.g. an
@@ -498,10 +565,13 @@ class Symsync:
                 packs.append(jnp.stack(list(ys_r + ys_i + valids), axis=-1))
             return carry, (jnp.stack(packs, axis=-2) if S > 1 else packs[0])
 
+        # unroll 4: measured optimum for the P-major body (round-5 sweep:
+        # 101/97/82/55 Msps at unroll 4/8/16/32, C=1024)
         carry, packed = jax.lax.scan(
-            step, _sym_carry(self), xs, unroll=max(1, 8 // S)
+            step, _sym_carry(self), xs, unroll=max(1, 4 // S)
         )
-        (b, bf, tau, tau_d, rate, delta, dec, pv) = carry
+        (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1) = carry
+        pv = jnp.stack([pv0, pv1], axis=-1)
 
         if n_valid is None:
             new_window = xa[..., n:]

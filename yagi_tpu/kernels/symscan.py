@@ -13,8 +13,12 @@ scratch across the sequential grid steps (select-against-init on step 0; a
 not — measured round 4, /tmp/tpuq jobs 59/60).
 
 Mosaic-survival layout rules applied here (kernels/ROOFLINE.md):
-* input lanes pre-packed to EXACTLY 128: x[t] is one (C, 128) tile whose
-  lane groups are [re·mf | re·dmf | im·mf | im·dmf] × P=32;
+* P-MAJOR input: x[t] is one (128, C) tile whose SUBLANE groups are
+  [re·mf | re·dmf | im·mf | im·dmf] × P=32 and whose lanes are channels.
+  The round-4 (C, 128) lane-grouped layout made every one-hot select a
+  [C, 32]-shaped op occupying 32 of 128 lanes with per-op relayouts
+  (0.55× the XLA scan); P-in-sublanes keeps every op dense and the
+  selected scalars land directly in the native [C] vector layout;
 * no in-kernel stack/concat — state rows load/store individually;
 * integer iota only (f32 iota is rejected), branch index kept in f32
   (exact for its small-int range; no in-kernel uint ops).
@@ -57,27 +61,27 @@ def _kernel(x_ref, vf_ref, init_ref, const_ref, y_ref, st_ref,
     pb0 = const_ref[3]
     kf_inv = const_ref[4]
 
-    C = x_ref.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (C, P), 1).astype(jnp.float32)
+    C = x_ref.shape[2]
+    # per-sublane branch index modulo P: ONE [4P, C] one-hot masks all four
+    # plane groups at once, and ONE segmented reduce produces the four
+    # selected vectors — 4x fewer select instructions than per-group
+    # [P, C] reduces (the loop is instruction-issue-bound, ~100 ns/op)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (4 * P, C), 0) & (P - 1)
+    ).astype(jnp.float32)
     Tt = x_ref.shape[0]
 
     def body(t, carry):
         (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1) = carry
         vs = vf_ref[t] > 0.5
-        row = x_ref[t]  # [C, 128]: [re·mf | re·dmf | im·mf | im·dmf]
-        mr_t = row[:, 0 * P : 1 * P]
-        dr_t = row[:, 1 * P : 2 * P]
-        mi_t = row[:, 2 * P : 3 * P]
-        di_t = row[:, 3 * P : 4 * P]
+        row = x_ref[t]  # [128, C]: sublane groups [re·mf | re·dmf | im·mf | im·dmf]
 
         for e in range(E):
             active = (b < P) & vs
             bb = jnp.clip(b, 0.0, P - 1.0)
-            oh = (bb[:, None] == iota).astype(jnp.float32)  # [C, P]
-            mr = jnp.sum(oh * mr_t, axis=-1)
-            mi = jnp.sum(oh * mi_t, axis=-1)
-            dr = jnp.sum(oh * dr_t, axis=-1)
-            di = jnp.sum(oh * di_t, axis=-1)
+            oh4 = (bb[None, :] == iota).astype(jnp.float32)  # [4P, C]
+            g = jnp.sum((row * oh4).reshape(4, P, C), axis=1)  # [4, C]
+            mr, dr, mi, di = g[0], g[1], g[2], g[3]
 
             if k_out == 1:
                 do_t = (dec == 1.0) & active & (locked < 0.5)
@@ -129,14 +133,15 @@ def symsync_scan(xs4t, vf, state16, consts, *, P: int, E: int, k_out: int,
                  tile: int = 0, interpret: bool = False):
     """Run the fused scan.
 
-    ``xs4t``: [n, C, 4P] f32 time-major all-branch outputs, lane groups
-    [re·mf | re·dmf | im·mf | im·dmf]; ``vf``: [n, C] f32 valid-prefix
+    ``xs4t``: [n, 4P, C] f32 time-major all-branch outputs, SUBLANE groups
+    [re·mf | re·dmf | im·mf | im·dmf] with channels in lanes (P-major —
+    see module docstring); ``vf``: [n, C] f32 valid-prefix
     flags (1.0 = consume); ``state16``: [16, C] f32 rows (b, bf, tau,
     tau_d, rate, delta, dec, pv0, pv1, pad…); ``consts``: [8, C] f32 rows
     (locked, radj, pa1, pb0, 1/k, pad…). Returns ``(ys [n, 3E, C],
     state' [16, C])``.
     """
-    n, C, _ = xs4t.shape
+    n, _, C = xs4t.shape
     if tile <= 0:
         # largest divisor of n under the ~8 MB double-buffer budget
         target = max(8, int(8e6 // (C * 4 * P * 4)))
@@ -150,7 +155,7 @@ def symsync_scan(xs4t, vf, state16, consts, *, P: int, E: int, k_out: int,
         kern,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, C, 4 * P), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tile, 4 * P, C), lambda i: (i, 0, 0)),
             pl.BlockSpec((tile, C), lambda i: (i, 0)),
             pl.BlockSpec((_NSTATE, C), lambda i: (0, 0)),
             pl.BlockSpec((8, C), lambda i: (0, 0)),

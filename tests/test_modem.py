@@ -192,6 +192,22 @@ class TestSoftDemod:
         # soft bit on clean symbol must be on the correct side of erasure
         assert np.all((soft > 127) == (hard_bits == 1))
 
+    @pytest.mark.parametrize("scheme", ["qam16", "ask256"])
+    def test_compat_truncation(self, scheme):
+        """compat=True reproduces the reference's truncating byte cast
+        (modem.rs:358-360): soft_compat == floor(scaled) <= soft_round,
+        differing by at most 1 LSB, and hard decisions are identical."""
+        rng = np.random.default_rng(11)
+        m = Modem.create(scheme)
+        x = (rng.standard_normal(256) + 1j * rng.standard_normal(256)
+             ).astype(np.complex64) * 0.7
+        s_r, soft_r, _ = m.demodulate_soft(x)
+        s_c, soft_c, _ = m.demodulate_soft(x, compat=True)
+        np.testing.assert_array_equal(np.asarray(s_r), np.asarray(s_c))
+        d = np.asarray(soft_r).astype(int) - np.asarray(soft_c).astype(int)
+        assert d.min() >= 0 and d.max() <= 1, (d.min(), d.max())
+        assert (d == 1).any()  # truncation actually differs somewhere
+
 
 class TestFreqModDem:
     def test_roundtrip(self):

@@ -415,12 +415,19 @@ class Modem:
         return jnp.abs(self.x_hat - self.r)
 
     # ------------------------------------------------------------- soft demod
-    def demodulate_soft(self, x) -> tuple[jnp.ndarray, jnp.ndarray, "Modem"]:
+    def demodulate_soft(
+        self, x, compat: bool = False
+    ) -> tuple[jnp.ndarray, jnp.ndarray, "Modem"]:
         """Soft bits [..., N, bps] in 0..255 (modem.rs:259-271).
 
         BPSK/QPSK use exact LLRs (bpsk.rs:22, qpsk.rs:24); table schemes use
         the nearest-neighbor approximation (modem.rs:317-364); differential
         schemes fall back to hard bits.
+
+        ``compat=True`` reproduces the reference's TRUNCATING byte cast on
+        the table path (modem.rs:358-360 ``as u8``) bit-for-bit; the default
+        rounds to nearest, which keeps weak-1 LLRs off the 127 erasure value
+        (COMPAT.md divergence #6).
         """
         x = jnp.asarray(x)
         bps = self.bits_per_symbol
@@ -469,14 +476,14 @@ class Modem:
         dmin1 = jnp.minimum(dmin1, dn1)
         dmin0 = jnp.minimum(dmin0, dn0)
 
-        # round-to-nearest (NOT the reference's truncating cast,
+        # round-to-nearest by default (NOT the reference's truncating cast,
         # modem.rs:358-360): for dense constellations (ask256) the LSB
         # confidence is ~0.9 quantum, which truncation collapses onto the
         # erasure value 127 and pack_soft_bits then mis-decodes — rounding
-        # keeps any positive LLR strictly above erasure
-        soft = jnp.round(
-            jnp.clip((dmin0 - dmin1) * gamma * 16.0 + 127.0, 0, 255)
-        ).astype(jnp.uint8)
+        # keeps any positive LLR strictly above erasure. compat=True keeps
+        # the reference's truncation for bit-exact conformance.
+        scaled = jnp.clip((dmin0 - dmin1) * gamma * 16.0 + 127.0, 0, 255)
+        soft = (scaled if compat else jnp.round(scaled)).astype(jnp.uint8)
         return sym, soft, new_self
 
     # -------------------------------------------------------------- sources

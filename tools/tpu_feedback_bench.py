@@ -100,7 +100,7 @@ def main() -> int:
             print(f"qamrx C={channels} FAILED: {e}", file=sys.stderr)
 
     # masked (slot-fed, no compaction) path — what bench config[3] measures
-    for channels in (256, 1024):
+    for channels in (256, 1024, 2048):
         px = make_px(channels)
         mkq = lambda: QamRx.create(batch_shape=(channels,))
         n_steps = 4 if channels <= 256 else 2

@@ -306,7 +306,10 @@ class QamRx:
             wi = jnp.where(ad_t, wi_u, wi)
             theta = jnp.where(can_adapt, theta_n, theta)
             dtheta = jnp.where(can_adapt, dtheta_n, dtheta)
-            sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
+            if self.k_eq == 2:  # static: XOR toggle, one op
+                sph = jnp.where(vi, sph ^ 1, sph)
+            else:
+                sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
             ev = (vs_r - sr) ** 2 + (vs_i - si) ** 2
             eacc = jnp.where(can_adapt, eacc + ev, eacc)
             ecnt = jnp.where(can_adapt, ecnt + 1.0, ecnt)
@@ -328,8 +331,10 @@ class QamRx:
                     lanes += slot_lanes
                 # deferred third emission this input step (see docstring)
                 ovf = ovf + pending.astype(jnp.int32)
-                packs.append(jnp.stack(lanes, axis=-1))  # [..., 4E]
-            packed = jnp.stack(packs, axis=-2) if S > 1 else packs[0]
+                # SLOT-MAJOR ys [4E, *batch]: a [*batch, 4E] ys pads 4E=8
+                # lanes to 128 — 16x-padded writes every step (round-5 fix)
+                packs.append(jnp.stack(lanes, axis=0))
+            packed = jnp.stack(packs, axis=0) if S > 1 else packs[0]
             return (sym_c, eq_c, ovf), packed
 
         tp = lambda v: jnp.moveaxis(v, -1, 0)  # noqa: E731
@@ -342,7 +347,9 @@ class QamRx:
         )
         carry0 = (_sym_carry(ss), eq_carry0,
                   jnp.zeros_like(self.overflow_count))
-        carry, packed = jax.lax.scan(body, carry0, xs4, unroll=max(1, 4 // S))
+        # unroll 2: measured optimum for the transposed-eq body (round-5
+        # sweep: 79.1/77.7/77.5 Msps at unroll 2/4/8, C=1024)
+        carry, packed = jax.lax.scan(body, carry0, xs4, unroll=max(1, 2 // S))
         sym_c, eq_c, overflow = carry
         (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1) = sym_c
         pv = jnp.stack([pv0, pv1], axis=-1)
@@ -355,12 +362,14 @@ class QamRx:
             w=jax.lax.complex(fp(wrf), fp(wif)),
         )
 
-        if S > 1:  # [n/S, ..., S, 4E] → [..., 2N, 4]
-            packed = jnp.moveaxis(packed, 0, -3)
-            packed = packed.reshape(packed.shape[:-3] + (n * E, 4))
-        else:
-            packed = jnp.moveaxis(packed, 0, -2)
-            packed = packed.reshape(packed.shape[:-2] + (n * E, 4))
+        if S > 1:  # [n/S, S, 4E, *batch] → [n, 4E, *batch]
+            packed = packed.reshape((n,) + packed.shape[2:])
+        # [n, 4E, *batch] → [*batch, n, 4E] → [..., 2N, 4] (one transpose
+        # instead of 16x-padded per-step writes)
+        packed = jnp.transpose(
+            packed, tuple(range(2, packed.ndim)) + (0, 1)
+        )
+        packed = packed.reshape(packed.shape[:-2] + (n * E, 4))
         syms = packed[..., 0].astype(jnp.uint32)
         soft = jax.lax.complex(packed[..., 1], packed[..., 2])
         mask = packed[..., 3] > 0.5

@@ -81,7 +81,9 @@ def _sym_loop_params(ss: "Symsync"):
         pidx=jnp.arange(ss.npfb, dtype=jnp.int32).reshape(
             (ss.npfb,) + (1,) * ss.tau.ndim
         ),
-        locked=ss.locked,
+        # hoisted complement: ~locked costs one in-loop op per emission slot
+        # otherwise (the loop is per-op-bound, ROOFLINE round 5)
+        notlocked=~ss.locked,
         radj=ss.rate_adjustment,
         pa1=pa1, pb0=pb0,
     )
@@ -115,7 +117,7 @@ def _emit_sample(params, carry, x4, E: int, kf, vs=None):
     """
     npfb = params["npfb"]
     pidx = params["pidx"]
-    locked_f = params["locked"]
+    notlocked = params["notlocked"]
     (b, bf, tau, tau_d, rate, delta, dec, pv0, pv1) = carry
     slots = []
     for _ in range(E):
@@ -138,9 +140,9 @@ def _emit_sample(params, carry, x4, E: int, kf, vs=None):
             # statically elided counter: any active emission leaves dec = 1
             # (reset-to-0 then +1), and timing fires whenever dec was 1 —
             # i.e. on every active emission after the very first
-            do_timing = (dec == 1) & active & (~locked_f)
+            do_timing = (dec == 1) & active & notlocked
         else:
-            do_timing = (dec == params["k_out"]) & active & (~locked_f)
+            do_timing = (dec == params["k_out"]) & active & notlocked
             dec = jnp.where((dec == params["k_out"]) & active, 0, dec)
 
         # q = clamp(Re(conj(mf)·dmf)) was folded into the precompute
@@ -561,9 +563,12 @@ class Symsync:
                     params, carry, x4s[s], E, kf, vs=vs
                 )
                 ys_r, ys_i, valids = zip(*slots)
-                # ONE f32 ys: [..., 3E] = [re slots | im slots | valid slots]
-                packs.append(jnp.stack(list(ys_r + ys_i + valids), axis=-1))
-            return carry, (jnp.stack(packs, axis=-2) if S > 1 else packs[0])
+                # ONE f32 ys, SLOT-MAJOR [3E, *batch] (slots in sublanes,
+                # batch in lanes): a [*batch, 3E] ys pads 3E=6 lanes to 128
+                # and the scan's per-step output write becomes ~21x padded
+                # (~2 GB/block at C=1024 — round-5 fix)
+                packs.append(jnp.stack(list(ys_r + ys_i + valids), axis=0))
+            return carry, (jnp.stack(packs, axis=0) if S > 1 else packs[0])
 
         # unroll 4: measured optimum for the P-major body (round-5 sweep:
         # 101/97/82/55 Msps at unroll 4/8/16/32, C=1024)
@@ -584,11 +589,13 @@ class Symsync:
             window=new_window, b=b, bf=bf, tau=tau, tau_decim=tau_d,
             rate=rate, delta=delta, decim_counter=dec, pll_v=pv,
         )
-        if S > 1:  # [n/S, ..., S, 3E] → [..., n, 3E]
-            packed = jnp.moveaxis(packed, 0, -3)
-            packed = packed.reshape(packed.shape[:-3] + (n, 3 * E))
-        else:
-            packed = jnp.moveaxis(packed, 0, -2)
+        if S > 1:  # [n/S, S, 3E, *batch] → [n, 3E, *batch]
+            packed = packed.reshape((n,) + packed.shape[2:])
+        # [n, 3E, *batch] → [*batch, n, 3E] (one materialized transpose,
+        # vs a 21x-padded write on every scan step in the [., 3E]-minor form)
+        packed = jnp.transpose(
+            packed, tuple(range(2, packed.ndim)) + (0, 1)
+        )
         y_slots = jax.lax.complex(packed[..., :E], packed[..., E : 2 * E])
         if not jnp.issubdtype(jnp.dtype(self.window.dtype), jnp.complexfloating):
             y_slots = packed[..., :E]

@@ -143,10 +143,14 @@ def symsync_scan(xs4t, vf, state16, consts, *, P: int, E: int, k_out: int,
     """
     n, _, C = xs4t.shape
     if tile <= 0:
-        # largest divisor of n under the ~8 MB double-buffer budget
-        target = max(8, int(8e6 // (C * 4 * P * 4)))
-        tile = 8
-        for cand in range(8, min(n, target) + 1, 8):
+        # largest divisor of n whose DOUBLE-BUFFERED in+out blocks fit the
+        # ~13 MB scoped-VMEM budget (per time step: x [4P, C] + vf [C] +
+        # ys [3E, C], two buffers each; at C=2048 the old 8-row floor
+        # overflowed scoped vmem by 1.1 MB — round-5 fix)
+        unit = (4 * P + 1 + 3 * E) * C * 4 * 2
+        target = max(1, int(13e6 // unit))
+        tile = 1
+        for cand in range(1, min(n, target) + 1):
             if n % cand == 0:
                 tile = cand
     grid = n // tile

@@ -47,7 +47,7 @@ class TestAmpModemRoundtrip:
         f"ampmodem_{t.lower()}_carrier_{'off' if sup == 'True' else 'on'}"
         for t in ("DSB", "USB", "LSB") for sup in ("False", "True")})
     @pytest.mark.parametrize("type_", [AmpModemType.DSB, AmpModemType.USB, AmpModemType.LSB])
-    @pytest.mark.parametrize("suppressed", [False, True])
+    @pytest.mark.parametrize("suppressed", [True, pytest.param(False, marks=pytest.mark.slow)])
     def test_roundtrip(self, type_, suppressed):
         rmse = _roundtrip_rmse(type_, suppressed)
         assert rmse < 0.05, f"{type_} suppressed={suppressed}: rmse={rmse:.4f}"

@@ -176,6 +176,7 @@ class TestShardedChannelizer:
         y_ref = np.asarray(y_ref)
         np.testing.assert_array_equal(y_sh[:, ch.p :], y_ref[:, ch.p :])
 
+    @pytest.mark.slow
     def test_fm_workload(self, mesh):
         """Config[4]: channelize + FM discriminate; sharded == reference."""
         M = 16

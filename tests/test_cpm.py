@@ -28,7 +28,9 @@ class TestGmsk:
         f"[{k}-{m}-{bt}]":
         f"gmskmodem_k{k}_m{m}_b{str(bt).replace('0.', '0')[:3].ljust(3, '0')}"
         for k, m, bt in _REF})
-    @pytest.mark.parametrize("k,m,bt", _REF)
+    @pytest.mark.parametrize("k,m,bt", [
+        c if i < 2 else pytest.param(*c, marks=pytest.mark.slow)
+        for i, c in enumerate(_REF)])
     def test_roundtrip(self, k, m, bt):
         """liquid autotest gmskmodem_k*_m*_bt* model: mod->demod
         recovers the bit stream after the 2m-symbol latency."""
@@ -135,7 +137,8 @@ class TestCpfsk:
     @autotest(param_map={f"[ref{i}]": nm for i, (*_, nm) in enumerate(_REF)})
     @pytest.mark.parametrize(
         "bps,h,k,m,ftype",
-        [c[:5] for c in _REF],
+        [c[:5] if i < 3 else pytest.param(*c[:5], marks=pytest.mark.slow)
+         for i, c in enumerate(_REF)],
         ids=[f"ref{i}" for i in range(len(_REF))],
     )
     def test_roundtrip(self, bps, h, k, m, ftype):

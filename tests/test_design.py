@@ -404,7 +404,9 @@ class TestFirdespmHalfbandScenarios:
               "m40_ft050": (40, 0.050), "m80_ft010": (80, 0.010)}
 
     @autotest(param_map={f"[{k}]": f"firdespm_halfband_{k}" for k in _CASES})
-    @pytest.mark.parametrize("case", sorted(_CASES))
+    @pytest.mark.parametrize("case", [
+        c if c not in ("m40_ft050", "m80_ft010") else
+        pytest.param(c, marks=pytest.mark.slow) for c in sorted(_CASES)])
     def test_halfband_ft(self, case):
         from yagi_tpu.utils import PsdRegion, validate_psd_signalf
 

@@ -30,7 +30,7 @@ def _channel(tx, delay, dphi, phi, gamma, snr_db, seed):
 
 
 class TestDsssFrame64:
-    @pytest.mark.parametrize("sf", [4, 8, 16])
+    @pytest.mark.parametrize("sf", [8] + [pytest.param(v, marks=pytest.mark.slow) for v in (4, 16)])
     @autotest("dsssframe64sync", "dsssframesync")
     def test_roundtrip(self, sf):
         gen = DsssFrameGen64(sf=sf)
@@ -106,7 +106,9 @@ class TestDsssFrame64:
 
 class TestFskFrame:
     @pytest.mark.parametrize("m,k,bw", [
-        (1, 8, 0.25), (2, 8, 0.25), (1, 4, 0.2), (3, 16, 0.3),
+        (2, 8, 0.25), (1, 4, 0.2),
+        pytest.param(1, 8, 0.25, marks=pytest.mark.slow),
+        pytest.param(3, 16, 0.3, marks=pytest.mark.slow),
     ])
     @autotest("fskframesync")
     def test_roundtrip(self, m, k, bw):

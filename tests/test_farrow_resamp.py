@@ -20,8 +20,8 @@ from yagi_tpu.filter._farrow_resamp import farrow_design_error_db
 
 from autotest import autotest
 
-RATES = [0.7153, 0.37]
-RATES_SLOW = [1.31719, 2.0013, 0.9871, 3.14159]
+RATES = [0.7153]
+RATES_SLOW = [0.37, 1.31719, 2.0013, 0.9871, 3.14159]
 
 
 def _bandlimited(n, seed=0, fmax=0.23):
@@ -73,6 +73,7 @@ class TestFarrowResamp:
         err = np.abs(ref[64:] - got[64:])
         assert err.max() < 0.03 * np.abs(ref).max(), err.max()
 
+    @pytest.mark.slow
     def test_block_split_tolerance(self):
         """Split-invariant within the interpolation tolerance: boundary
         emissions use the exact reference dotprod (no future inputs), so
@@ -90,6 +91,7 @@ class TestFarrowResamp:
         assert len(split) == len(whole)
         assert _snr_db(whole, split) > 40.0
 
+    @pytest.mark.slow
     def test_high_cutoff(self):
         """MsResamp's arbitrary stage runs fc up to 0.49 — the 2x grid
         keeps the farrow band ≤ 0.25 so accuracy holds."""
@@ -105,7 +107,8 @@ class TestFarrowResamp:
         assert snr > 42.0, snr
         assert np.abs(ref - got).max() < 0.04 * np.abs(ref).max()
 
-    @pytest.mark.parametrize("rate", [0.37, 0.9871,
+    @pytest.mark.parametrize("rate", [0.9871,
+        pytest.param(0.37, marks=pytest.mark.slow),
         pytest.param(2.5, marks=pytest.mark.slow)])
     @autotest("msresamp_crcf_01")
     def test_msresamp_farrow(self, rate):

@@ -276,7 +276,9 @@ class TestSpgramReferenceScenarios:
     }
 
     @autotest(param_map={f"[{k}]": f"spgramcf_noise_{k}" for k in _NOISE})
-    @pytest.mark.parametrize("case", sorted(_NOISE))
+    @pytest.mark.parametrize("case", [
+        c if c in ("440", "hamming", "kaiser") else
+        pytest.param(c, marks=pytest.mark.slow) for c in sorted(_NOISE)])
     def test_noise(self, case):
         nfft, wlen, delay, wtype = self._NOISE[case]
         # explicit-window cases use the reference's exact (wlen, delay);
@@ -297,7 +299,9 @@ class TestSpgramReferenceScenarios:
     }
 
     @autotest(param_map={f"[{k}]": f"spgramcf_signal_{k}" for k in _SIGNAL})
-    @pytest.mark.parametrize("case", sorted(_SIGNAL))
+    @pytest.mark.parametrize("case", [
+        c if c in ("00", "04") else
+        pytest.param(c, marks=pytest.mark.slow) for c in sorted(_SIGNAL)])
     def test_signal(self, case):
         """QPSK stream mixed to fc + noise → PSD regions (spgram.rs:437-467)."""
         from yagi_tpu.design import FirFilterShape
@@ -330,6 +334,7 @@ class TestSpgramReferenceScenarios:
         assert validate_psd_spectrum(psd, nfft, regions), case
 
     @autotest("spgramcf_counters")
+    @pytest.mark.slow
     def test_counters(self):
         """Counter bookkeeping incl. clear/reset (spgram.rs:471-543)."""
         nfft, wlen, delay = 1200, 400, 200

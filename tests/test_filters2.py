@@ -290,8 +290,8 @@ class TestRresamp:
 
 
 class TestMsResamp:
-    @pytest.mark.parametrize("rate", [0.35, 0.7, 1.5, 3.0] + [
-        pytest.param(r, marks=pytest.mark.slow) for r in (0.1, 6.5)])
+    @pytest.mark.parametrize("rate", [0.7, 1.5] + [
+        pytest.param(r, marks=pytest.mark.slow) for r in (0.35, 3.0, 0.1, 6.5)])
     def test_tone_rate(self, rate):
         """Output length ≈ rate·N and tone lands at f/rate."""
         n = 4000

@@ -32,9 +32,12 @@ def _channel(tx, delay, dphi, phi, gamma, snr_db, seed):
 class TestFlexFrame:
     @pytest.mark.parametrize("mod,crc,fec0,fec1,plen", [
         ("qpsk", "crc32", "none", "none", 64),
-        ("qam16", "crc32", "hamming128", "none", 120),
-        ("qpsk", "crc16", "golay2412", "none", 40),
-        ("psk8", "crc32", "hamming74", "conv27p23", 80),
+        pytest.param("qam16", "crc32", "hamming128", "none", 120,
+                     marks=pytest.mark.slow),
+        pytest.param("qpsk", "crc16", "golay2412", "none", 40,
+                     marks=pytest.mark.slow),
+        pytest.param("psk8", "crc32", "hamming74", "conv27p23", 80,
+                     marks=pytest.mark.slow),
         ("bpsk", "crc24", "none", "rep3", 30),
     ])
     @autotest("flexframesync")
@@ -92,7 +95,9 @@ class TestGmskFrame:
         f"[k{k}-m{m}-{bt}]":
         f"gmskframesync_k{k:02d}_m{m:02d}_bt{int(round(bt * 100)):02d}"
         for k, m, bt in _REF})
-    @pytest.mark.parametrize("k,m,bt", _REF,
+    @pytest.mark.parametrize("k,m,bt", [
+        c if i == 0 else pytest.param(*c, marks=pytest.mark.slow)
+        for i, c in enumerate(_REF)],
                              ids=[f"k{k}-m{m}-{bt}" for k, m, bt in _REF])
     def test_roundtrip_kmbt(self, k, m, bt):
         """liquid autotest gmskframesync_k*_m*_bt* model."""

@@ -82,6 +82,7 @@ class TestModemRoundtrip:
         out, m_rx = m_rx.demodulate(y)
         np.testing.assert_array_equal(np.asarray(out), syms, err_msg=scheme)
 
+    @pytest.mark.slow
     def test_differential_block_split(self):
         """DPSK state carries across block boundaries."""
         rng = np.random.default_rng(2)
@@ -635,7 +636,9 @@ class TestFskReferenceScenarios:
 
     @autotest(param_map={f"[norm-M{1 << m}]": f"fskmodem_norm_M{1 << m}"
                          for m in range(1, 11)})
-    @pytest.mark.parametrize("case", sorted(_NORM),
+    @pytest.mark.parametrize("case", [
+        c if c not in ("M512", "M1024") else
+        pytest.param(c, marks=pytest.mark.slow) for c in sorted(_NORM)],
                              ids=[f"norm-{k}" for k in sorted(_NORM)])
     def test_norm(self, case):
         self._roundtrip(*self._NORM[case])

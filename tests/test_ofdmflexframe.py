@@ -43,7 +43,9 @@ class TestOfdmFlexFrame:
     ]
 
     @autotest(param_map={f"[g{i}]": f"ofdmflexframe_0{i}" for i in range(10)})
-    @pytest.mark.parametrize("M,cp,mod,fec0,plen", _GRID,
+    @pytest.mark.parametrize("M,cp,mod,fec0,plen", [
+        c if i < 2 else pytest.param(*c, marks=pytest.mark.slow)
+        for i, c in enumerate(_GRID)],
                              ids=[f"g{i}" for i in range(10)])
     def test_roundtrip(self, M, cp, mod, fec0, plen):
         gen = OfdmFlexFrameGen(M=M, cp_len=cp, header_len=14)

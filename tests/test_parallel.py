@@ -64,6 +64,7 @@ class TestTimeShardedFir:
         mesh = make_stream_mesh(8)
         assert mesh.shape["ch"] == 1 and mesh.shape["time"] == 8
 
+    @pytest.mark.slow
     def test_with_history_seed(self, devices_ok):
         """Seeding stream-start history matches a warm filter."""
         rng = np.random.default_rng(1)

@@ -43,7 +43,8 @@ def reference_resamp(x, branches, phase0, step, bits):
 
 
 class TestResamp:
-    @pytest.mark.parametrize("rate", [0.37, 0.5, 1.0, 1.1, 2.0, 3.7])
+    @pytest.mark.parametrize("rate", [0.5, 1.0, 1.1, 2.0] + [
+        pytest.param(r, marks=pytest.mark.slow) for r in (0.37, 3.7)])
     def test_matches_reference_loop(self, rate):
         rng = np.random.default_rng(int(rate * 100))
         q = Resamp.create(rate, m=3, npfb=32, dtype=jnp.float32)
@@ -81,7 +82,8 @@ class TestResamp:
         assert len(y1) == len(y2)
         np.testing.assert_allclose(y1, y2, rtol=1e-4, atol=1e-5)
 
-    @pytest.mark.parametrize("rate", [2.0, 1.0] + [
+    @pytest.mark.parametrize("rate", [1.0] + [
+        pytest.param(2.0, marks=pytest.mark.slow)] + [
         pytest.param(r, marks=pytest.mark.slow)
         for r in (0.5, 4.0 / 3.0, 8.0 / 5.0)])
     def test_static_sched_fast_path_matches_u32(self, rate):

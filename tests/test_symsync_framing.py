@@ -457,7 +457,9 @@ class TestSymsyncReferenceScenarios:
 
     @autotest(param_map={f"[c{k}]": f"symsync_crcf_scenario_{k}"
                          for k in _SCEN})
-    @pytest.mark.parametrize("case", sorted(_SCEN),
+    @pytest.mark.parametrize("case", [
+        c if i == 0 else pytest.param(c, marks=pytest.mark.slow)
+        for i, c in enumerate(sorted(_SCEN))],
                              ids=[f"c{k}" for k in sorted(_SCEN)])
     def test_crcf(self, case):
         self._run("crcf", *self._SCEN[case])

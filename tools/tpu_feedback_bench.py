@@ -34,6 +34,13 @@ def main() -> int:
         print(f"not a TPU backend ({plat})", file=sys.stderr)
         return 1
 
+    from tools import perfcommon as _pc
+
+    # pin the session calibration to the RUN START: write_artifact reuses
+    # the cached value, so the validity stamp describes the session at the
+    # moment the measurements begin (contention swings minute-to-minute)
+    _pc.calibrate(jax, jnp)  # pinned
+
     results = {}
     block = 4096
     rng = np.random.default_rng(2)

@@ -28,6 +28,13 @@ def main() -> int:
         print(f"not a TPU backend ({plat})", file=sys.stderr)
         return 1
 
+    from tools import perfcommon as _pc
+
+    # pin the session calibration to the RUN START: write_artifact reuses
+    # the cached value, so the validity stamp describes the session at the
+    # moment the measurements begin (contention swings minute-to-minute)
+    _pc.calibrate(jax, jnp)  # pinned
+
     C, T = 16, 1 << 17
     rng = np.random.default_rng(0)
     xh = (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(

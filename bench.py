@@ -216,8 +216,9 @@ def bench_qamrx(jax, jnp, channels=2048, block=4096, n_steps=4, reps=3):
     """Config[3]: 16-QAM receiver with EVM tracking (chains/qam.py).
 
     C=2048 channels/chip: the per-step scan cost is per-op-dispatch-bound,
-    so per-chip throughput grows with channel batch (31 Msps at C=256 →
-    63 at C=2048; FEEDBACK_PROFILE.json channel-scaling table)."""
+    so per-chip throughput grows with channel batch (47 Msps at C=256 →
+    88 at C=2048 after the round-5 P-major/taps-major layouts;
+    FEEDBACK_PROFILE.json channel-scaling table)."""
     from yagi_tpu.chains import QamRx
     from yagi_tpu.utils.planar import Planar
 

@@ -102,24 +102,34 @@ def causal_conv_valid(xa: jnp.ndarray, h: jnp.ndarray, stride: int = 1) -> jnp.n
     return y.reshape(batch_shape + (n_out,))
 
 
-def banded_branch_matrix(branches: np.ndarray) -> np.ndarray:
+def banded_branch_matrix(branches: np.ndarray, row: int | None = None
+                         ) -> np.ndarray:
     """Host-side band matrix G for :func:`multi_branch_conv_tm_pre`.
 
     G[u, t·M + i] = branches[i, t + L − 1 − u] (zero outside [0, L)). Build
     ONCE at object-creation time: constructing it in-graph from a traced
     branches array is a ~2M-element gather per call (~15 ms on TPU).
+
+    ``row`` is the output row-block size. Default: 64 for short banks
+    (L ≤ 65 → band depth K = 128, one full MXU pass) and 128 otherwise —
+    a 128 row block rounds K to 256 for a 29-tap bank, paying 2× the MACs
+    of the K=128 form at identical accuracy (measured: the symsync
+    precompute was 22.4 ms of the 27 ms kernel-path block at C=1024;
+    ROOFLINE round-5 notes).
     """
     branches = np.asarray(branches)
     M, L = branches.shape
-    nband = -(-(L + _ROW - 1) // _ROW)
-    K = nband * _ROW
+    if row is None:
+        row = 64 if L <= 65 else _ROW
+    nband = -(-(L + row - 1) // row)
+    K = nband * row
     u = np.arange(K)[:, None, None]
-    t = np.arange(_ROW)[None, :, None]
+    t = np.arange(row)[None, :, None]
     i = np.arange(M)[None, None, :]
     k = t + (L - 1) - u
     g = np.where(
         (k >= 0) & (k < L), branches[i, np.clip(k, 0, L - 1)], 0.0
-    ).reshape(K, _ROW * M)
+    ).reshape(K, row * M)
     return g.astype(branches.dtype)
 
 
@@ -137,14 +147,15 @@ def multi_branch_conv_tm_pre(xa: jnp.ndarray, g: jnp.ndarray, M: int, L: int
     batch_shape = xa.shape[:-1]
     m = xa.shape[-1]
     n_out = m - L + 1
-    nb = -(-n_out // _ROW)
+    row = g.shape[1] // M  # output row-block of the prebuilt band matrix
+    nb = -(-n_out // row)
     K = g.shape[0]
-    total = (nb - 1) * _ROW + K
+    total = (nb - 1) * row + K
     xp = jnp.pad(xa.reshape((-1, m)), ((0, 0), (0, total - m)))
-    x3 = xp.reshape((-1, nb - 1 + K // _ROW, _ROW))
-    f = jnp.concatenate([x3[:, d : d + nb] for d in range(K // _ROW)], axis=-1)
+    x3 = xp.reshape((-1, nb - 1 + K // row, row))
+    f = jnp.concatenate([x3[:, d : d + nb] for d in range(K // row)], axis=-1)
     y = jax.lax.dot_general(f, g, (((2,), (0,)), ((), ())), precision=_PREC)
-    return y.reshape(batch_shape + (nb * _ROW, M))[..., :n_out, :]
+    return y.reshape(batch_shape + (nb * row, M))[..., :n_out, :]
 
 
 def multi_branch_conv_tm(xa: jnp.ndarray, branches: jnp.ndarray) -> jnp.ndarray:

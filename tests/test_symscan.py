@@ -82,3 +82,48 @@ class TestSymscanKernel:
              + 0j).astype(np.complex64)
         y, v, _ = ss.execute_slots(jnp.asarray(x), backend="pallas")
         assert y.shape[:2] == (3, 64)
+
+
+class TestSymscanFused:
+    """In-kernel-MF variant (backend="fused", symsync_scan_fused): the MF
+    dots reassociate vs the XLA banded matmul, so cross-formulation parity
+    is tolerance-level; the kernel's own block-split invariance and the
+    emission schedule must stay exact."""
+
+    def test_tolerance_parity_vs_xla(self):
+        x = _sig(seed=3)
+        ya, va, sa = _mk().execute_slots(jnp.asarray(x), backend="xla")
+        yb, vb, sb = _mk().execute_slots(jnp.asarray(x), backend="fused")
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        d = np.abs(np.asarray(ya) - np.asarray(yb))
+        ref = np.abs(np.asarray(ya)).max()
+        assert d.max() < 1e-4 * max(ref, 1.0), d.max()
+        np.testing.assert_allclose(
+            np.asarray(sa.tau), np.asarray(sb.tau), atol=1e-4
+        )
+
+    def test_n_valid_parity(self):
+        x = _sig(seed=4)
+        ya, va, _ = _mk().execute_slots(jnp.asarray(x), n_valid=200,
+                                        backend="xla")
+        yb, vb, _ = _mk().execute_slots(jnp.asarray(x), n_valid=200,
+                                        backend="fused")
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        assert np.abs(np.asarray(ya) - np.asarray(yb)).max() < 1e-4
+
+    @pytest.mark.slow
+    def test_block_split_invariance_bit_exact(self):
+        """Against ITSELF the fused kernel is bit-invariant to splits."""
+        x = _sig(seed=5)
+        s = _mk()
+        y1, v1, s = s.execute_slots(jnp.asarray(x[:, :128]), backend="fused")
+        y2, v2, s = s.execute_slots(jnp.asarray(x[:, 128:]), backend="fused")
+        yf, vf, _ = _mk().execute_slots(jnp.asarray(x), backend="fused")
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(v1), np.asarray(v2)], axis=1),
+            np.asarray(vf),
+        )
+        np.testing.assert_array_equal(
+            np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1),
+            np.asarray(yf),
+        )

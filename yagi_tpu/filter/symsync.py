@@ -393,15 +393,24 @@ class Symsync:
         xs3 = jnp.stack([mr, mi, q], axis=1)
         return xs3, xa
 
-    def _execute_slots_pallas(self, x, E: int, n_valid, interpret: bool):
+    def _execute_slots_pallas(self, x, E: int, n_valid, interpret: bool,
+                              fused: bool = True):
         """Fused-kernel route (kernels/symscan.py): the whole control loop
         runs as ONE Mosaic program instead of per-op-dispatched scan body
-        instructions (~10× on-chip; kernels/ROOFLINE.md round 4)."""
-        from ..kernels.symscan import symsync_scan
+        instructions (~10× on-chip; kernels/ROOFLINE.md round 4). When the
+        shape allows (fused_ok), the MF/dMF dots run IN-KERNEL from the
+        raw overlapped sample stream — no materialized all-branch
+        precompute (685 vs 186 Msps at C=1024; ROOFLINE round-5 late
+        findings). Values then differ from the XLA banded matmul by fp32
+        summation order (~1 ULP); the precompute-streaming variant below
+        stays bit-exact vs the XLA scan."""
+        from ..kernels.symscan import fused_ok, symsync_scan
 
         x = jnp.asarray(x, dtype=self.window.dtype)
         n = x.shape[-1]
         C = self.b.shape[0]
+        P = self.npfb
+        L = self.mf.shape[1]
         if n_valid is not None:
             n_valid = jnp.asarray(n_valid, jnp.int32)
             x = jnp.where(jnp.arange(n) < n_valid, x, 0)
@@ -412,9 +421,11 @@ class Symsync:
             vf = jnp.ones((n, C), jnp.float32)
 
         xa = jnp.concatenate([self.window, x], axis=-1)
+        if fused and fused_ok((C,), n, P, L, E):
+            return self._slots_pallas_fused(xa, vf, n, C, E, n_valid,
+                                            interpret)
         from ._conv import multi_branch_conv_tm_pre
 
-        P = self.npfb
         planes = jnp.stack([jnp.real(xa[..., 1:]), jnp.imag(xa[..., 1:])])
         ytm = multi_branch_conv_tm_pre(
             planes, self.bank_g, 2 * P, self.mf.shape[1]
@@ -423,6 +434,16 @@ class Symsync:
         # with channels in lanes (kernels/symscan.py layout note)
         xs4t = jnp.transpose(ytm, (2, 0, 3, 1)).reshape((n, 4 * P, C))
 
+        state16, consts = self._kernel_state(C)
+        ys, st9 = symsync_scan(
+            xs4t, vf, state16, consts, P=P, E=E, k_out=self.k_out,
+            interpret=interpret,
+        )
+        return self._kernel_finish(ys, st9, xa, n, E, n_valid)
+
+    def _kernel_state(self, C: int):
+        """Pack the control state / loop constants into [16, C] / [8, C]
+        f32 rows for the Mosaic kernels (kernels/symscan.py layout)."""
         f32 = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
         state16 = jnp.concatenate([
             jnp.stack([
@@ -438,12 +459,11 @@ class Symsync:
             bc(self.pll_b[0]), bc(1.0 / self.k),
             jnp.zeros(C), jnp.zeros(C), jnp.zeros(C),
         ])
-        ys, st9 = symsync_scan(
-            xs4t, vf, state16, consts, P=P, E=E, k_out=self.k_out,
-            interpret=interpret,
-        )
-        packed = jnp.transpose(ys, (2, 0, 1))  # [C, n, 3E]
+        return state16, consts
 
+    def _kernel_finish(self, ys, st9, xa, n: int, E: int, n_valid):
+        """Unpack kernel outputs/state back into the public slot API."""
+        packed = jnp.transpose(ys, (2, 0, 1))  # [C, n, 3E]
         if n_valid is None:
             new_window = xa[..., n:]
         else:
@@ -462,6 +482,32 @@ class Symsync:
             y_slots = packed[..., :E]
         v_slots = packed[..., 2 * E :] > 0.5
         return y_slots, v_slots, new
+
+    def _slots_pallas_fused(self, xa, vf, n: int, C: int, E: int, n_valid,
+                            interpret: bool):
+        """In-kernel-MF route: the matched/derivative filter dots run
+        inside the Mosaic program from the raw overlapped sample stream
+        (kernels/symscan.symsync_scan_fused) — the 2 GB/block all-branch
+        precompute never materializes. MF values differ from the XLA
+        banded matmul only by fp32 summation order (~1 ULP)."""
+        from ..kernels.symscan import symsync_scan_fused
+
+        P = self.npfb
+        L = self.mf.shape[1]
+        lpad = -(-L // 8) * 8
+        # time-major raw planes incl. history, zero right-pad to n + lpad
+        pad = (n + lpad) - (xa.shape[-1] - 1)
+        xt_r = jnp.pad(jnp.real(xa[..., 1:]).T, [(0, pad), (0, 0)])
+        xt_i = jnp.pad(jnp.imag(xa[..., 1:]).T, [(0, pad), (0, 0)])
+        # g2[i, j] = bank[i, L-1-j]: y[t, i] = Σ_j g2[i, j]·x[t + j]
+        g2 = jnp.concatenate([self.mf, self.dmf], axis=0)[:, ::-1]
+        g2 = jnp.pad(g2, [(0, 0), (0, lpad - L)])
+        state16, consts = self._kernel_state(C)
+        ys, st9 = symsync_scan_fused(
+            xt_r, xt_i, vf, state16, consts, g2, P=P, E=E,
+            k_out=self.k_out, interpret=interpret,
+        )
+        return self._kernel_finish(ys, st9, xa, n, E, n_valid)
 
     def execute_slots(
         self, x, samples_per_step: int | None = None,
@@ -512,22 +558,26 @@ class Symsync:
                 n_valid=n_valid, backend=backend,
             )
             return y[:C], v[:C], take_fields(new, _BATCH_FIELDS, C)
-        if backend in ("auto", "pallas") and S == 1:
-            # Fused Mosaic scan: bit-exact on-chip and, with the round-5
-            # P-major + combined-select layout, slightly ahead of the XLA
-            # scan (105.8 vs 101.5 Msps, C=1024 — ROOFLINE round 5), so
-            # "auto" picks it on real TPU for supported shapes. On other
-            # backends "auto" stays with the XLA scan; backend="pallas"
-            # forces the kernel (interpret mode off-TPU, for tests).
+        if backend in ("auto", "pallas", "fused") and S == 1:
+            # Mosaic scan kernels (kernels/symscan.py): "auto" on real TPU
+            # picks the in-kernel-MF fused variant when the shape allows
+            # (686 Msps at C=1024 vs 186 for the precompute-streaming
+            # variant and 111 for the XLA scan — ROOFLINE round 5; MF
+            # values reassociate vs the XLA banded matmul, ~1 ULP), else
+            # the precompute-streaming variant (bit-exact vs the XLA
+            # scan). backend="pallas" forces the bit-exact streaming
+            # variant, "fused" the in-kernel-MF one (interpret mode
+            # off-TPU, for tests); other backends use the XLA scan.
             from ..kernels.symscan import pallas_ok
 
             plat = jax.devices()[0].platform
             on_tpu = plat in ("tpu", "axon")
-            if (backend == "pallas" or on_tpu) and pallas_ok(
-                tuple(self.b.shape), n, self.npfb
+            if (backend in ("pallas", "fused") or on_tpu) and pallas_ok(
+                tuple(self.b.shape), n, self.npfb, E
             ):
                 return self._execute_slots_pallas(
-                    x, E, n_valid, interpret=not on_tpu
+                    x, E, n_valid, interpret=not on_tpu,
+                    fused=backend != "pallas",
                 )
         if n_valid is not None:
             # valid-prefix streaming (variable-rate upstream, e.g. an

@@ -118,3 +118,28 @@ class TestQamRx:
             QamRx.create("rrcos", K, M, BETA, eq_len=6)
         with pytest.raises(ConfigError):
             QamRx.create("rrcos", K, M, BETA).set_bandwidth(-0.1)
+
+
+class TestDecoupledPath:
+    def test_decoupled_matches_joint(self):
+        """The round-5 decoupled formulation (symsync kernel + eq-only
+        scan) must match the joint fused scan: same mask, same symbols,
+        soft values within float tolerance."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(9)
+        C, n = 8, 512
+        x = (rng.standard_normal((C, n)) + 1j * rng.standard_normal((C, n))
+             ).astype(np.complex64) * 0.5
+        rx = QamRx.create(batch_shape=(C,))
+        s1, soft1, m1, n1 = rx.step_masked(jnp.asarray(x))
+        s2, soft2, m2, n2 = rx._step_masked_decoupled(jnp.asarray(x))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_array_equal(np.asarray(s1)[np.asarray(m1)],
+                                      np.asarray(s2)[np.asarray(m2)])
+        d = np.abs(np.asarray(soft1) - np.asarray(soft2)).max()
+        assert d < 1e-5, d
+        np.testing.assert_allclose(np.asarray(n1.theta),
+                                   np.asarray(n2.theta), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(n1.eq.w),
+                                   np.asarray(n2.eq.w), atol=1e-5)

@@ -154,6 +154,160 @@ class QamRx:
         ms = self.evm_accum / jnp.maximum(self.evm_count, 1.0)
         return 10.0 * jnp.log10(jnp.maximum(ms, 1e-12))
 
+    def _eq_machinery(self):
+        """Shared eq/carrier slot closure + initial carry for the fused and
+        decoupled scan formulations (identical math either way)."""
+        from ..utils.planar import loop_constants
+
+        nbat = self.theta.ndim
+        h_len = self.eq.h_len
+        M = self.table.shape[0]
+        alpha_v, beta_v = loop_constants(self.alpha, self.beta, like=self.theta)
+        tshape = (M,) + (1,) * nbat
+        table_r, table_i = jax.lax.optimization_barrier(
+            (jnp.real(self.table).reshape(tshape),
+             jnp.imag(self.table).reshape(tshape))
+        )
+        midx = jnp.arange(M, dtype=jnp.uint32).reshape(tshape)
+
+        def eq_slot(carry, xi_r, xi_i, vi):
+            """One emission slot through eq + carrier PLL (masked on vi).
+
+            The eq state is carried TRANSPOSED ([h_len, *batch]: taps in
+            SUBLANES, batch in lanes) and planar: a [batch, h_len] layout
+            pads h_len=7 to 128 lanes, 18x-ing every in-loop eq op
+            (kernels/ROOFLINE.md round-5 notes). Math identical to
+            Eqlms.push/execute/step (eqlms.rs:125-187).
+            """
+            (br, bi, x2t, x2s, cnt, wr, wi,
+             theta, dtheta, sph, eacc, ecnt) = carry
+            # push (eqlms.rs:125): shift taps along the sublane axis
+            x2n = xi_r * xi_r + xi_i * xi_i
+            br_p = jnp.concatenate([br[1:], xi_r[None]], axis=0)
+            bi_p = jnp.concatenate([bi[1:], xi_i[None]], axis=0)
+            x2_p = jnp.concatenate([x2t[1:], x2n[None]], axis=0)
+            x2s_p = x2s + x2n - x2t[0]
+            cnt_p = cnt + 1
+            # execute (eqlms.rs:137): y = conj(w)-dot-buf
+            yr = jnp.sum(wr * br_p + wi * bi_p, axis=0)
+            yi = jnp.sum(wr * bi_p - wi * br_p, axis=0)
+            is_sym = vi & (sph == 0)
+            # gate adaptation on healthy buffer energy: the normalized-LMS
+            # step divides by x2_sum, which explodes on the symsync warm-up
+            # transient (liquid symtrack gates via acquire states instead)
+            can_adapt = is_sym & (x2s_p > 0.5 * h_len)
+
+            # carrier derotation vs = y*exp(-j*theta)
+            co, sn = jnp.cos(theta), jnp.sin(theta)
+            vs_r = yr * co + yi * sn
+            vs_i = yi * co - yr * sn
+            d2 = (vs_r[None] - table_r) ** 2 + (vs_i[None] - table_i) ** 2
+            s = jnp.argmin(d2, axis=0).astype(jnp.uint32)
+            # one-hot constellation select: per-channel dynamic gathers are
+            # scalar-unit-bound on TPU (kernels/ROOFLINE.md)
+            oh = s[None] == midx
+            sr = jnp.sum(jnp.where(oh, table_r, 0), axis=0)
+            si = jnp.sum(jnp.where(oh, table_i, 0), axis=0)
+
+            pe = (vs_i * sr - vs_r * si) / jnp.maximum(sr * sr + si * si, 1e-12)
+            theta_n = theta + dtheta + alpha_v * pe
+            dtheta_n = dtheta + beta_v * pe
+            # training update (eqlms.rs:170-187) toward d = s_hat*exp(+j*theta):
+            # alpha = d - y;  w += mu*conj(alpha)*buf / max(sum|x|^2, eps)
+            ar = (sr * co - si * sn) - yr
+            ai = (si * co + sr * sn) - yi
+            g = self.eq.mu / jnp.maximum(x2s_p, 1e-20)
+            wr_u = wr + g[None] * (ar[None] * br_p + ai[None] * bi_p)
+            wi_u = wi + g[None] * (ar[None] * bi_p - ai[None] * br_p)
+
+            vi_t = vi[None]
+            adapt = can_adapt & (cnt_p >= h_len)  # eqlms.rs ready gate
+            ad_t = adapt[None]
+            br = jnp.where(vi_t, br_p, br)
+            bi = jnp.where(vi_t, bi_p, bi)
+            x2t = jnp.where(vi_t, x2_p, x2t)
+            x2s = jnp.where(vi, x2s_p, x2s)
+            cnt = jnp.where(vi, cnt_p, cnt)
+            wr = jnp.where(ad_t, wr_u, wr)
+            wi = jnp.where(ad_t, wi_u, wi)
+            theta = jnp.where(can_adapt, theta_n, theta)
+            dtheta = jnp.where(can_adapt, dtheta_n, dtheta)
+            if self.k_eq == 2:  # static: XOR toggle, one op
+                sph = jnp.where(vi, sph ^ 1, sph)
+            else:
+                sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
+            ev = (vs_r - sr) ** 2 + (vs_i - si) ** 2
+            eacc = jnp.where(can_adapt, eacc + ev, eacc)
+            ecnt = jnp.where(can_adapt, ecnt + 1.0, ecnt)
+            # per-slot f32 lanes: [sym, re(vs), im(vs), is_sym]
+            lanes = [s.astype(jnp.float32), vs_r, vs_i,
+                     is_sym.astype(jnp.float32)]
+            carry = (br, bi, x2t, x2s, cnt, wr, wi,
+                     theta, dtheta, sph, eacc, ecnt)
+            return carry, lanes
+
+        tp = lambda v: jnp.moveaxis(v, -1, 0)  # noqa: E731
+        eq_carry0 = (
+            tp(jnp.real(self.eq.buffer)), tp(jnp.imag(self.eq.buffer)),
+            tp(self.eq.x2), self.eq.x2_sum, self.eq.count,
+            tp(jnp.real(self.eq.w)), tp(jnp.imag(self.eq.w)),
+            self.theta, self.dtheta, self.sym_phase,
+            self.evm_accum, self.evm_count,
+        )
+        return eq_slot, eq_carry0
+
+    def _finish_from_eq(self, eq_c, agc, ss_new, pv=None, overflow=None):
+        """Rebuild the chain pytree from the eq-scan carry."""
+        (brf, bif, x2tf, x2sf, cntf, wrf, wif,
+         theta, dtheta, sph, eacc, ecnt) = eq_c
+        fp = lambda v: jnp.moveaxis(v, 0, -1)  # noqa: E731
+        eq = self.eq.replace(
+            buffer=jax.lax.complex(fp(brf), fp(bif)),
+            x2=fp(x2tf), x2_sum=x2sf, count=cntf,
+            w=jax.lax.complex(fp(wrf), fp(wif)),
+        )
+        return self.replace(
+            agc=agc, symsync=ss_new, eq=eq, theta=theta, dtheta=dtheta,
+            sym_phase=sph, evm_accum=eacc, evm_count=ecnt,
+            overflow_count=(self.overflow_count if overflow is None
+                            else self.overflow_count + overflow),
+        )
+
+    def _step_masked_decoupled(self, x):
+        """symsync kernel → eq-only scan (see step_masked routing note)."""
+        n = x.shape[-1]
+        E = self.slots
+        s_agc = next(s for s in (8, 4, 2, 1) if n % s == 0)
+        y0, agc = self.agc.execute_block(x, samples_per_step=s_agc)
+        y_slots, v_slots, ss_new = self.symsync.execute_slots(
+            y0, max_emit=E
+        )  # [C, n, E]
+        # time-major planar xs for the eq scan
+        yr = jax.lax.optimization_barrier(
+            jnp.transpose(jnp.real(y_slots), (1, 2, 0)))  # [n, E, C]
+        yi = jax.lax.optimization_barrier(
+            jnp.transpose(jnp.imag(y_slots), (1, 2, 0)))
+        vfm = jax.lax.optimization_barrier(
+            jnp.transpose(v_slots, (1, 2, 0)).astype(jnp.float32))
+        eq_slot, eq_carry0 = self._eq_machinery()
+
+        def body(eq_c, inp):
+            yr_s, yi_s, vf_s = inp  # each [E, C]
+            lanes = []
+            for e in range(E):
+                eq_c, sl = eq_slot(eq_c, yr_s[e], yi_s[e], vf_s[e] > 0.5)
+                lanes += sl
+            return eq_c, jnp.stack(lanes, axis=0)  # [4E, C]
+
+        eq_c, packed = jax.lax.scan(body, eq_carry0, (yr, yi, vfm), unroll=2)
+        # [n, 4E, C] → [C, n, 4E] → [C, nE, 4]
+        packed = jnp.transpose(packed, (2, 0, 1))
+        packed = packed.reshape(packed.shape[:-2] + (n * E, 4))
+        syms = packed[..., 0].astype(jnp.uint32)
+        soft = jax.lax.complex(packed[..., 1], packed[..., 2])
+        mask = packed[..., 3] > 0.5
+        return syms, soft, mask, self._finish_from_eq(eq_c, agc, ss_new)
+
     def step_masked(self, x, samples_per_step: int | None = None):
         """Process one block; masked (uncompacted) outputs.
 
@@ -211,6 +365,27 @@ class QamRx:
                 eq=take_fields(new.eq, eq_f, C),
             )
             return syms[:C], soft[:C], mask[:C], new
+        if samples_per_step is None and len(bs) == 1:
+            # DECOUPLED TPU formulation (round 5): with the in-kernel-MF
+            # Mosaic symsync at ~500 Msps, the joint symsync+eq scan no
+            # longer pays — run the symsync kernel, then an eq-only scan
+            # over its emission slots (the round-4 joint form existed to
+            # amortize two equally-priced scans; the price is no longer
+            # equal). Math is identical; slot deferral beyond `slots` is
+            # handled by the kernel's bounded unroll (overflow_count not
+            # incremented on this path).
+            from ..kernels.symscan import fused_ok
+
+            ss0 = self.symsync
+            plat = jax.devices()[0].platform
+            ok = fused_ok(bs, n, ss0.npfb, ss0.mf.shape[1], self.slots) or (
+                # over-budget batches ride the symsync split-batch path
+                bs[0] % 256 == 0
+                and fused_ok((bs[0] // 2,), n, ss0.npfb,
+                             ss0.mf.shape[1], self.slots)
+            )
+            if plat in ("tpu", "axon") and ok:
+                return self._step_masked_decoupled(x)
         E = self.slots
         S = 1 if samples_per_step is None else samples_per_step
         # pack the AGC scan (bit-identical for any S — agc.py): its body is
@@ -227,98 +402,7 @@ class QamRx:
             xs4.reshape((n // S, S) + xs4.shape[1:])
         )
         sparams = _sym_loop_params(ss)
-        nbat = self.theta.ndim
-        h_len = self.eq.h_len
-        M = self.table.shape[0]
-
-        # loop-invariant PLL gains and constellation planes materialized
-        # outside the scan (in-body input-derived scalars get sunk into
-        # every iteration; utils.loop_constants). The constellation sits
-        # TRANSPOSED ([M, 1..]: points in sublanes, batch in lanes) like
-        # the eq state below.
-        alpha_v, beta_v = loop_constants(self.alpha, self.beta, like=self.theta)
-        tshape = (M,) + (1,) * nbat
-        table_r, table_i = jax.lax.optimization_barrier(
-            (jnp.real(self.table).reshape(tshape),
-             jnp.imag(self.table).reshape(tshape))
-        )
-        midx = jnp.arange(M, dtype=jnp.uint32).reshape(tshape)
-
-        def eq_slot(carry, xi_r, xi_i, vi):
-            """One emission slot through eq + carrier PLL (masked on vi).
-
-            The eq state is carried TRANSPOSED ([h_len, *batch]: taps in
-            SUBLANES, batch in lanes) and planar: a [batch, h_len] layout
-            pads h_len=7 to 128 lanes, 18×-ing every in-loop eq op
-            (kernels/ROOFLINE.md round-5 notes). Math identical to
-            Eqlms.push/execute/step (eqlms.rs:125-187).
-            """
-            (br, bi, x2t, x2s, cnt, wr, wi,
-             theta, dtheta, sph, eacc, ecnt) = carry
-            # push (eqlms.rs:125): shift taps along the sublane axis
-            x2n = xi_r * xi_r + xi_i * xi_i
-            br_p = jnp.concatenate([br[1:], xi_r[None]], axis=0)
-            bi_p = jnp.concatenate([bi[1:], xi_i[None]], axis=0)
-            x2_p = jnp.concatenate([x2t[1:], x2n[None]], axis=0)
-            x2s_p = x2s + x2n - x2t[0]
-            cnt_p = cnt + 1
-            # execute (eqlms.rs:137): y = Σ conj(w)·buf
-            yr = jnp.sum(wr * br_p + wi * bi_p, axis=0)
-            yi = jnp.sum(wr * bi_p - wi * br_p, axis=0)
-            is_sym = vi & (sph == 0)
-            # gate adaptation on healthy buffer energy: the normalized-LMS
-            # step divides by x2_sum, which explodes on the symsync warm-up
-            # transient (liquid symtrack gates via acquire states instead)
-            can_adapt = is_sym & (x2s_p > 0.5 * h_len)
-
-            # carrier derotation vs = y·e^{−jθ}
-            co, sn = jnp.cos(theta), jnp.sin(theta)
-            vs_r = yr * co + yi * sn
-            vs_i = yi * co - yr * sn
-            d2 = (vs_r[None] - table_r) ** 2 + (vs_i[None] - table_i) ** 2
-            s = jnp.argmin(d2, axis=0).astype(jnp.uint32)
-            # one-hot constellation select: per-channel dynamic gathers are
-            # scalar-unit-bound on TPU (kernels/ROOFLINE.md)
-            oh = s[None] == midx
-            sr = jnp.sum(jnp.where(oh, table_r, 0), axis=0)
-            si = jnp.sum(jnp.where(oh, table_i, 0), axis=0)
-
-            pe = (vs_i * sr - vs_r * si) / jnp.maximum(sr * sr + si * si, 1e-12)
-            theta_n = theta + dtheta + alpha_v * pe
-            dtheta_n = dtheta + beta_v * pe
-            # training update (eqlms.rs:170-187) toward d = ŝ·e^{+jθ}:
-            # α = d − y;  w += μ·conj(α)·buf / max(Σ|x|², ε)
-            ar = (sr * co - si * sn) - yr
-            ai = (si * co + sr * sn) - yi
-            g = self.eq.mu / jnp.maximum(x2s_p, 1e-20)
-            wr_u = wr + g[None] * (ar[None] * br_p + ai[None] * bi_p)
-            wi_u = wi + g[None] * (ar[None] * bi_p - ai[None] * br_p)
-
-            vi_t = vi[None]
-            adapt = can_adapt & (cnt_p >= h_len)  # eqlms.rs ready gate
-            ad_t = adapt[None]
-            br = jnp.where(vi_t, br_p, br)
-            bi = jnp.where(vi_t, bi_p, bi)
-            x2t = jnp.where(vi_t, x2_p, x2t)
-            x2s = jnp.where(vi, x2s_p, x2s)
-            cnt = jnp.where(vi, cnt_p, cnt)
-            wr = jnp.where(ad_t, wr_u, wr)
-            wi = jnp.where(ad_t, wi_u, wi)
-            theta = jnp.where(can_adapt, theta_n, theta)
-            dtheta = jnp.where(can_adapt, dtheta_n, dtheta)
-            if self.k_eq == 2:  # static: XOR toggle, one op
-                sph = jnp.where(vi, sph ^ 1, sph)
-            else:
-                sph = jnp.where(vi, (sph + 1) % self.k_eq, sph)
-            ev = (vs_r - sr) ** 2 + (vs_i - si) ** 2
-            eacc = jnp.where(can_adapt, eacc + ev, eacc)
-            ecnt = jnp.where(can_adapt, ecnt + 1.0, ecnt)
-            # per-slot f32 lanes: [sym, re(vs), im(vs), is_sym]
-            lanes = [s.astype(jnp.float32), vs_r, vs_i,
-                     is_sym.astype(jnp.float32)]
-            carry = (br, bi, x2t, x2s, cnt, wr, wi,
-                     theta, dtheta, sph, eacc, ecnt)
-            return carry, lanes
+        eq_slot, eq_carry0 = self._eq_machinery()
 
         def body(carry, inp):
             sym_c, eq_c, ovf = carry
@@ -337,14 +421,6 @@ class QamRx:
             packed = jnp.stack(packs, axis=0) if S > 1 else packs[0]
             return (sym_c, eq_c, ovf), packed
 
-        tp = lambda v: jnp.moveaxis(v, -1, 0)  # noqa: E731
-        eq_carry0 = (
-            tp(jnp.real(self.eq.buffer)), tp(jnp.imag(self.eq.buffer)),
-            tp(self.eq.x2), self.eq.x2_sum, self.eq.count,
-            tp(jnp.real(self.eq.w)), tp(jnp.imag(self.eq.w)),
-            self.theta, self.dtheta, self.sym_phase,
-            self.evm_accum, self.evm_count,
-        )
         carry0 = (_sym_carry(ss), eq_carry0,
                   jnp.zeros_like(self.overflow_count))
         # unroll 2: measured optimum for the transposed-eq body (round-5

@@ -389,6 +389,45 @@ class TestFmStereo:
         sep_r = 20 * np.log10(tone_amp(right, 0.021) / tone_amp(right, 0.010))
         assert sep_l > 40 and sep_r > 40
 
+    def test_batched_streaming_matches_per_channel(self):
+        """The batched path bench.py config[2] rides (C channels, equal-size
+        streamed blocks) is bit-identical per channel to the scalar chain."""
+        from yagi_tpu.chains import FmStereoRx
+        from yagi_tpu.modem import Freqmod
+
+        n, C = 1 << 12, 4
+        t = np.arange(n)
+        fp = 0.095
+        rng = np.random.default_rng(7)
+        comps = [
+            0.5 * np.sin(2 * np.pi * (0.008 + 0.002 * c) * t)
+            + 0.1 * np.cos(2 * np.pi * fp * t)
+            for c in range(C)
+        ]
+        iqs = [
+            np.asarray(Freqmod.create(0.25).modulate(
+                (m * 0.5).astype(np.float32))[0])
+            for m in comps
+        ]
+        iqb = np.stack(iqs)
+
+        rx = FmStereoRx.create(kf=0.125, f_pilot=fp, batch_shape=(C,))
+        blk = n // 2
+        lefts = []
+        for b in range(2):
+            l, r, p, rx = rx.step(iqb[:, b * blk:(b + 1) * blk])
+            lefts.append(np.asarray(l))
+        batched = np.concatenate(lefts, axis=-1)
+
+        for c in range(C):
+            rx1 = FmStereoRx.create(kf=0.125, f_pilot=fp)
+            parts = []
+            for b in range(2):
+                l, r, p, rx1 = rx1.step(iqs[c][b * blk:(b + 1) * blk])
+                parts.append(np.asarray(l))
+            np.testing.assert_array_equal(
+                batched[c], np.concatenate(parts, axis=-1))
+
     def test_deemphasis_rolloff(self):
         """De-emphasis attenuates high audio frequencies."""
         from yagi_tpu.chains import FmStereoRx

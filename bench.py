@@ -42,12 +42,13 @@ def _null_latency(jax, jnp, np, reps: int = 3) -> float:
 
 
 def bench_fused_chain(jax, jnp, channels=16, block=1 << 17, n_steps=512, reps=5,
-                      precision="bf16x3"):
+                      precision="bf16x3", r=64):
     """Config[0] via the fused Pallas kernel. Returns (median_msps, rates).
 
     Production throughput mode is the documented-tolerance bf16x3 split
-    (~1e-5 rel vs fp32-HIGHEST, kernels/chain.py dot3; measured +45%
-    same-session, KERNEL_VARIANTS.json). HIGHEST is reported as a secondary.
+    (~1e-5 rel vs fp32-HIGHEST, kernels/chain.py dot3; measured +21-45%
+    same-session across rounds, KERNEL_VARIANTS.json). HIGHEST is reported
+    as a secondary.
     """
     from yagi_tpu.chains import FusedRxChain
 
@@ -57,7 +58,7 @@ def bench_fused_chain(jax, jnp, channels=16, block=1 << 17, n_steps=512, reps=5,
     chain = jax.jit(
         lambda: FusedRxChain.create(
             n_taps=64, fc=0.2, as_=60.0, rate=2.0, mix_freq=0.35,
-            batch_shape=(channels,), r=64, precision=precision,
+            batch_shape=(channels,), r=r, precision=precision,
         )
     )()
     step = jax.jit(lambda c, a, b: c.step_planar(a, b))

@@ -127,3 +127,45 @@ class TestSymscanFused:
             np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1),
             np.asarray(yf),
         )
+
+
+class TestLaneMisalignedPad:
+    """C % 128 != 0 batches ride the kernel via edge-pad-to-128 + slice
+    (filter/symsync.py pad branch): results must be BIT-EXACT vs the XLA
+    scan at the original C — the pad channels are lane-parallel and
+    independent, so they cannot perturb the real channels."""
+
+    @pytest.mark.parametrize("c", [8, 64, 100])
+    def test_pad_path_bit_exact(self, c):
+        rng = np.random.default_rng(6)
+        x = (rng.standard_normal((c, N)) + 1j *
+             rng.standard_normal((c, N))).astype(np.complex64)
+        mk = lambda: Symsync.create_rnyquist(  # noqa: E731
+            FirFilterShape.RRCOS, 2, 7, 0.3, batch_shape=(c,)
+        ).set_lf_bw(0.02)
+        ya, va, sa = mk().execute_slots(jnp.asarray(x), backend="xla")
+        yb, vb, sb = mk().execute_slots(jnp.asarray(x), backend="pallas")
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+        assert np.asarray(vb).shape[0] == c
+        for fa, fb in zip(jax.tree_util.tree_leaves(sa),
+                          jax.tree_util.tree_leaves(sb)):
+            assert np.asarray(fa).shape == np.asarray(fb).shape
+            np.testing.assert_allclose(
+                np.asarray(fa), np.asarray(fb), rtol=1e-6, atol=1e-6)
+
+    def test_pad_path_fused_matches_unpadded_kernel(self):
+        """The padded fused route at C=100 equals the first 100 channels of
+        a C=128 kernel run on the edge-padded input (pad transparency)."""
+        c = 100
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((c, N)) + 1j *
+             rng.standard_normal((c, N))).astype(np.complex64)
+        xp = np.pad(x, [(0, 128 - c), (0, 0)], mode="edge")
+        mk = lambda cc: Symsync.create_rnyquist(  # noqa: E731
+            FirFilterShape.RRCOS, 2, 7, 0.3, batch_shape=(cc,)
+        ).set_lf_bw(0.02)
+        ya, va, _ = mk(c).execute_slots(jnp.asarray(x), backend="fused")
+        yb, vb, _ = mk(128).execute_slots(jnp.asarray(xp), backend="fused")
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb)[:c])
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb)[:c])

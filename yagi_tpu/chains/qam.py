@@ -383,6 +383,11 @@ class QamRx:
                 bs[0] % 256 == 0
                 and fused_ok((bs[0] // 2,), n, ss0.npfb,
                              ss0.mf.shape[1], self.slots)
+            ) or (
+                # lane-misaligned batches ride the symsync pad-to-128 path
+                bs[0] >= 8 and bs[0] % 128 != 0
+                and fused_ok((-(-bs[0] // 128) * 128,), n, ss0.npfb,
+                             ss0.mf.shape[1], self.slots)
             )
             if plat in ("tpu", "axon") and ok:
                 return self._step_masked_decoupled(x)

@@ -579,6 +579,24 @@ class Symsync:
                         fused=backend != "pallas",
                     )
                 C = self.b.shape[0] if self.b.ndim == 1 else 0
+                if C >= 8 and C % 128 != 0:
+                    # the kernel needs lane-aligned C (C % 128 == 0), but
+                    # channels are independent: edge-pad the batch to the
+                    # next lane boundary, run the kernel, slice back. Even
+                    # at ~2x padded waste the kernel is 4-5x the XLA scan
+                    # (C=64: 35.9 Msps scan vs the kernel's ~0.9 us/step;
+                    # per-channel results are lane-parallel, so the real
+                    # channels are unaffected by the pad channels)
+                    Cp = -(-C // 128) * 128
+                    if pallas_ok((Cp,), n, self.npfb, E):
+                        from ..utils.smallbatch import pad_fields, take_fields
+
+                        padded = pad_fields(self, _BATCH_FIELDS, Cp - C)
+                        xp = jnp.pad(x, [(0, Cp - C), (0, 0)], mode="edge")
+                        y, v, new = padded.execute_slots(
+                            xp, max_emit=E, n_valid=n_valid, backend=backend)
+                        return y[:C], v[:C], take_fields(
+                            new, _BATCH_FIELDS, C)
                 if C >= 256 and C % 256 == 0 and pallas_ok(
                     (C // 2,), n, self.npfb, E
                 ):

@@ -38,8 +38,15 @@ def main() -> int:
 
     # pin the session calibration to the RUN START: write_artifact reuses
     # the cached value, so the validity stamp describes the session at the
-    # moment the measurements begin (contention swings minute-to-minute)
-    _pc.calibrate(jax, jnp)  # pinned
+    # moment the measurements begin (contention swings minute-to-minute);
+    # abort immediately on a contended session rather than measuring for
+    # minutes only to have write_artifact refuse the stamp
+    meta = _pc.calibrate(jax, jnp)  # pinned
+    ok, why = _pc.calib_valid(meta)
+    print(f"calibration: {meta} -> {why}", file=sys.stderr)
+    if not ok:
+        print("session contended; aborting without measuring", file=sys.stderr)
+        return 1
 
     results = {}
     block = 4096
